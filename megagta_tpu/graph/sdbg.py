@@ -1,0 +1,262 @@
+"""Succinct de Bruijn graph runtime: BOSS arrays + batched navigation.
+
+Content model matches the reference SuccinctDBG (src/succinct_dbg.h:32-247):
+rows are BOSS entries sorted by colex(node label); each row in a node's group
+is one outgoing edge with W = out-char ($=0, A..T=1..4, flagged 5..8 when an
+earlier row in the same (k-1)-suffix block shares the target), `last` marks
+group ends, indegree-0 nodes get fictitious "$-prefixed" tip rows carrying
+their label, outdegree-0 nodes get a W=$ row.
+
+TPU-first design departure: instead of rank/select popcount scans per query
+(src/rank_and_select.h), the structurally static navigation is precomputed at
+build time into gather tables:
+  forward [size]    target-node last-row per row (reference Forward,
+                    src/succinct_dbg.h:155-164)
+  succ    [size,4]  row id of the target node's out-edge with char c, or -1
+                    (collapses OutgoingEdges' rank/select + group scan,
+                    src/succinct_dbg.cpp:78-97, into one gather)
+Only the `invalid` mask mutates (SetInvalidEdge), so these tables stay valid
+through tip removal / bubble popping; queries mask invalid rows at gather
+time. This turns whole-frontier expansion into pure vectorized gathers — the
+TPU-idiomatic replacement for pointer-chasing rank/select.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..constants import dna_to_str
+
+__all__ = ["SdBG"]
+
+
+@dataclass
+class SdBG:
+    k: int  # node k-mer length (kmer_k)
+    w: np.ndarray  # [size] uint8, 0..8
+    last: np.ndarray  # [size] bool
+    is_tip: np.ndarray  # [size] bool (fictitious $-node rows)
+    mult: np.ndarray  # [size] int32 edge multiplicity (1 for $/tip rows)
+    f: np.ndarray  # [6] int64 partition starts by node last-char
+    tip_labels: np.ndarray  # [num_tips, k-1] int8 tip node labels (natural)
+    # --- derived navigation (built by finalize) ---
+    forward: np.ndarray = None  # [size] int64
+    backward: np.ndarray = None  # [size] int64 (first incoming row of group)
+    succ: np.ndarray = None  # [size, 4] int64
+    group_start: np.ndarray = None  # [size] int64 first row of this row's group
+    group_end: np.ndarray = None  # [size] int64 last row (inclusive)
+    invalid: np.ndarray = None  # [size] bool, mutable
+    is_multi1: np.ndarray = None  # [size] bool
+
+    @property
+    def size(self) -> int:
+        return len(self.w)
+
+    # ------------------------------------------------------------ build-time
+
+    def finalize(self) -> "SdBG":
+        """Precompute gather tables from (w, last, is_tip, f)."""
+        w = self.w.astype(np.int64)
+        size = self.size
+        self.invalid = self.is_tip | (w == 0)
+        self.is_multi1 = self.mult <= 1
+
+        # group boundaries: a group ends at a row whose (last | is_tip) is set
+        boundary = self.last | self.is_tip
+        # group_end[x] = smallest y >= x with boundary[y]
+        idx = np.arange(size, dtype=np.int64)
+        b_idx = np.where(boundary, idx, size)
+        self.group_end = np.minimum.accumulate(b_idx[::-1])[::-1]
+        # group_start[x] = previous boundary + 1
+        p_idx = np.where(boundary, idx, -1)
+        prev_boundary = np.maximum.accumulate(np.concatenate([[-1], p_idx[:-1]]))
+        self.group_start = prev_boundary + 1
+
+        # forward: rows with W char a (unflagged rank): target is the
+        # rank-th last-marked group in partition a.
+        out_char = np.where(w == 0, 0, np.where(w > 4, w - 4, w))  # 0..4
+        last_pos = np.flatnonzero(self.last)  # positions of last rows, in order
+        # cumulative count of last rows before each partition start
+        last_cum = np.zeros(size + 1, dtype=np.int64)
+        last_cum[1:] = np.cumsum(self.last)
+        rank_f = last_cum[np.clip(self.f, 0, size)]  # groups before partition c
+
+        self.forward = np.full(size, -1, dtype=np.int64)
+        for c in range(1, 5):
+            rows_c = np.flatnonzero(out_char == c)
+            if rows_c.size == 0:
+                continue
+            # rank among unflagged c rows (count in [0, row], inclusive)
+            cum_unf = np.cumsum(w == c)
+            rank_c = cum_unf[rows_c]  # count of unflagged c in [0, row]
+            target_group = rank_f[c] + rank_c - 1
+            valid = (target_group >= 0) & (target_group < len(last_pos))
+            tg = np.where(valid, target_group, 0)
+            self.forward[rows_c] = np.where(valid, last_pos[tg], -1)
+
+        # backward: first incoming row of each group's node =
+        # select_W(c, group_index_within_partition). Same value for all rows
+        # of a group; computed per last-marked group then broadcast.
+        self.backward = np.full(size, -1, dtype=np.int64)
+        # BOSS invariant: the i-th last-marked group of partition c pairs
+        # with the i-th unflagged c row (reference Backward,
+        # src/succinct_dbg.h:166-170).
+        for c in range(1, 5):
+            groups_c = last_pos[(last_pos >= self.f[c]) & (last_pos < (self.f[c + 1] if c + 1 < 6 else size))]
+            rows_wc = np.flatnonzero(w == c)
+            n = min(len(groups_c), len(rows_wc))
+            # broadcast to whole group range
+            for_group_last = groups_c[:n]
+            starts = self.group_start[for_group_last]
+            # scatter: all rows in [start, last] get backward = rows_wc[i]
+            reps = for_group_last - starts + 1
+            rows_idx = np.repeat(rows_wc[:n], reps)
+            targets = np.concatenate(
+                [np.arange(s, e + 1) for s, e in zip(starts, for_group_last)]
+            ) if n else np.zeros(0, np.int64)
+            self.backward[targets] = rows_idx
+
+        # succ table: per group, rows by out-char; then succ[x] = that of
+        # group(forward[x]).
+        group_id_of_row = last_cum[idx]  # index among last-marked groups, for
+        # rows up to their group's last row this equals the group ordinal
+        num_groups = int(self.last.sum())
+        group_rows = np.full((num_groups + 1, 4), -1, dtype=np.int64)
+        real_rows = np.flatnonzero((out_char >= 1) & (~self.is_tip))
+        gid = last_cum[real_rows]  # ordinal of enclosing group
+        group_rows[gid, out_char[real_rows] - 1] = real_rows
+        fwd_ok = self.forward >= 0
+        fwd_gid = np.where(fwd_ok, last_cum[np.clip(self.forward, 0, size - 1)], num_groups)
+        self.succ = group_rows[fwd_gid]
+        return self
+
+    # ------------------------------------------------------------- queries
+
+    def out_label(self, rows) -> np.ndarray:
+        """GetEdgeOutLabel: 1..4 (src/succinct_dbg.h:92-95)."""
+        w = self.w[rows].astype(np.int64)
+        return np.where(w > 4, w - 4, w)
+
+    def outgoing_edges(self, row: int) -> list[int]:
+        """Valid out-rows of the target node of `row` (OutgoingEdges)."""
+        if row < 0 or self.invalid[row]:
+            return []
+        cands = self.succ[row]
+        return [int(r) for r in cands[::-1] if r >= 0 and not self.invalid[r]]
+
+    def label(self, row: int) -> np.ndarray:
+        """Reconstruct the k-mer label of the node owning `row` (natural
+        orientation), reference Label (src/succinct_dbg.cpp:503-528)."""
+        seq = np.zeros(self.k, dtype=np.int8)
+        x = int(row)
+        for i in range(self.k - 1, -1, -1):
+            if self.is_tip[x]:
+                tip_idx = int(np.count_nonzero(self.is_tip[: x + 1]) - 1)
+                lab = self.tip_labels[tip_idx]
+                # tip label = fictitious node's real chars n[0..k-2]; the
+                # remaining i+1 node chars are its suffix
+                seq[: i + 1] = lab[len(lab) - (i + 1) :] if i + 1 <= len(lab) else np.concatenate([np.zeros(i + 1 - len(lab), np.int8), lab])
+                break
+            x = int(self.backward[x])
+            seq[i] = self.out_label(np.array([x]))[0] - 1
+        return seq
+
+    def edge_label(self, row: int) -> np.ndarray:
+        """(k+1)-mer of the edge at `row` = node label + out-char."""
+        node = self.label(row)
+        return np.concatenate([node, [self.out_label(np.array([row]))[0] - 1]]).astype(np.int8)
+
+    def lookup_edge(self, seq: np.ndarray) -> int:
+        """Row id of edge (k+1)-mer `seq` (codes 0..3), or -1.
+
+        Reference IndexBinarySearchEdge (src/succinct_dbg.cpp:530-549); here a
+        direct binary search over colex order via label reconstruction.
+        """
+        node_row = self.lookup_node(seq[: self.k])
+        if node_row < 0:
+            return -1
+        g0, g1 = int(self.group_start[node_row]), int(self.group_end[node_row])
+        want = int(seq[self.k]) + 1
+        for r in range(g1, g0 - 1, -1):
+            wv = int(self.w[r])
+            if wv == want or wv - 4 == want:
+                return r
+        return -1
+
+    def lookup_node(self, node: np.ndarray) -> int:
+        """Last-row id of node k-mer `node` (codes 0..3), or -1."""
+        c = int(node[-1]) + 1
+        lo = int(self.f[c])
+        hi = int(self.f[c + 1]) if c + 1 < 6 else self.size
+        # binary search on colex order among last rows in [lo, hi)
+        lp = np.flatnonzero(self.last)
+        li = np.searchsorted(lp, lo)
+        ri = np.searchsorted(lp, hi)
+        target = node[::-1]  # colex compare = lex of reversed label
+        while li < ri:
+            mid = (li + ri) // 2
+            row = int(lp[mid])
+            lab = self.label(row)[::-1]
+            cmp = 0
+            for a, b in zip(lab, target):
+                if a != b:
+                    cmp = -1 if a < b else 1
+                    break
+            if cmp == 0:
+                if self.is_tip[row]:
+                    cmp = -1  # tips sort before real nodes w/ same suffix
+                else:
+                    return row
+            if cmp < 0:
+                li = mid + 1
+            else:
+                ri = mid
+        return -1
+
+    def set_invalid(self, rows) -> None:
+        self.invalid[rows] = True
+
+    # ---------------------------------------------------------- persistence
+
+    def save(self, prefix: str) -> None:
+        np.savez_compressed(
+            prefix + ".sdbg.npz",
+            w=self.w,
+            last=self.last,
+            is_tip=self.is_tip,
+            mult=self.mult,
+            f=self.f,
+            tip_labels=self.tip_labels,
+        )
+        with open(prefix + ".sdbg_info.json", "w") as fh:
+            json.dump(
+                {
+                    "kmer_k": self.k,
+                    "size": self.size,
+                    "num_tips": int(self.is_tip.sum()),
+                    "num_w": [int((self.w == i).sum()) for i in range(9)],
+                    "num_last1": int(self.last.sum()),
+                },
+                fh,
+                indent=1,
+            )
+
+    @staticmethod
+    def load(prefix: str) -> "SdBG":
+        with open(prefix + ".sdbg_info.json") as fh:
+            info = json.load(fh)
+        with np.load(prefix + ".sdbg.npz") as z:
+            g = SdBG(
+                k=info["kmer_k"],
+                w=z["w"],
+                last=z["last"],
+                is_tip=z["is_tip"],
+                mult=z["mult"],
+                f=z["f"],
+                tip_labels=z["tip_labels"],
+            )
+        return g.finalize()
