@@ -51,6 +51,8 @@ class SdBG:
     group_end: np.ndarray = None  # [size] int64 last row (inclusive)
     invalid: np.ndarray = None  # [size] bool, mutable
     is_multi1: np.ndarray = None  # [size] bool
+    pred: np.ndarray = None  # [num_groups+1, 4] int64 incoming rows per group
+    group_ordinal: np.ndarray = None  # [size] int64 ordinal of enclosing group
 
     @property
     def size(self) -> int:
@@ -120,6 +122,22 @@ class SdBG:
             ) if n else np.zeros(0, np.int64)
             self.backward[targets] = rows_idx
 
+        # pred table: incoming rows per group (<= 4 real rows, or 1 tip row),
+        # indexed by group ordinal; replaces the reference's IncomingEdges
+        # row-scan (src/succinct_dbg.cpp:99-127) with one gather.
+        num_groups_total = int(self.last.sum())
+        self.pred = np.full((num_groups_total + 1, 4), -1, dtype=np.int64)
+        in_rows = np.flatnonzero((w >= 1) & (w <= 8))
+        tgt = self.forward[in_rows]
+        ok_t = tgt >= 0
+        in_rows, tgt = in_rows[ok_t], tgt[ok_t]
+        tgt_gid = last_cum[tgt]  # ordinal of target group (tgt is a last row)
+        order_t = np.argsort(tgt_gid, kind="stable")
+        in_rows, tgt_gid = in_rows[order_t], tgt_gid[order_t]
+        slot = np.arange(len(tgt_gid)) - np.searchsorted(tgt_gid, tgt_gid)
+        keep4 = slot < 4
+        self.pred[tgt_gid[keep4], slot[keep4]] = in_rows[keep4]
+
         # succ table: per group, rows by out-char; then succ[x] = that of
         # group(forward[x]).
         group_id_of_row = last_cum[idx]  # index among last-marked groups, for
@@ -132,7 +150,93 @@ class SdBG:
         fwd_ok = self.forward >= 0
         fwd_gid = np.where(fwd_ok, last_cum[np.clip(self.forward, 0, size - 1)], num_groups)
         self.succ = group_rows[fwd_gid]
+        self.group_ordinal = last_cum[idx] if size else np.zeros(0, np.int64)
         return self
+
+    # ------------------------------------------- edge/node-level navigation
+    # (the assembly stage's query set; reference src/succinct_dbg.cpp:33-409)
+
+    def _group_rows(self, row: int):
+        return range(int(self.group_start[row]), int(self.group_end[row]) + 1)
+
+    def incoming_rows(self, row: int) -> list[int]:
+        """Valid incoming edge rows of `row`'s group node."""
+        g = int(self.group_ordinal[row])
+        return [int(y) for y in self.pred[g] if y >= 0 and not self.invalid[y]]
+
+    def edge_outdegree(self, row: int) -> int:
+        """Out-degree of the TARGET node of edge `row` (EdgeOutdegree)."""
+        if self.invalid[row]:
+            return -1
+        return sum(1 for r in self.succ[row] if r >= 0 and not self.invalid[r])
+
+    def edge_indegree(self, row: int) -> int:
+        if self.invalid[row]:
+            return -1
+        return len(self.incoming_rows(row))
+
+    def unique_next_edge(self, row: int) -> int:
+        if self.invalid[row]:
+            return -1
+        outs = [r for r in self.succ[row] if r >= 0 and not self.invalid[r]]
+        return int(outs[0]) if len(outs) == 1 else -1
+
+    def unique_prev_edge(self, row: int) -> int:
+        if self.invalid[row]:
+            return -1
+        ins = self.incoming_rows(row)
+        return ins[0] if len(ins) == 1 else -1
+
+    def next_simple_path_edge(self, row: int) -> int:
+        nxt = self.unique_next_edge(row)
+        if nxt != -1 and self.unique_prev_edge(nxt) != -1:
+            return nxt
+        return -1
+
+    def prev_simple_path_edge(self, row: int) -> int:
+        prv = self.unique_prev_edge(row)
+        if prv != -1 and self.unique_next_edge(prv) != -1:
+            return prv
+        return -1
+
+    # node handles are any row of the group
+    def node_outdegree_zero(self, row: int) -> bool:
+        return not any(
+            not self.invalid[r] for r in self._group_rows(row)
+        )
+
+    def node_indegree_zero(self, row: int) -> bool:
+        return len(self.incoming_rows(row)) == 0
+
+    def unique_next_node(self, row: int) -> int:
+        outs = [r for r in self._group_rows(row) if not self.invalid[r]]
+        if len(outs) != 1:
+            return -1
+        return int(self.forward[outs[0]])  # forward lands on a last row
+
+    def unique_prev_node(self, row: int) -> int:
+        ins = self.incoming_rows(row)
+        if len(ins) != 1:
+            return -1
+        return int(self.group_end[ins[0]])
+
+    def delete_all_edges(self, row: int) -> None:
+        """Invalidate the node's out-rows and all incoming rows
+        (DeleteAllEdges, src/succinct_dbg.cpp:342-367)."""
+        for r in self._group_rows(row):
+            self.invalid[r] = True
+        g = int(self.group_ordinal[row])
+        for y in self.pred[g]:
+            if y >= 0:
+                self.invalid[y] = True
+
+    def edge_reverse_complement(self, row: int) -> int:
+        """Row of the reverse-complement edge (EdgeReverseComplement)."""
+        if self.invalid[row]:
+            return -1
+        e = self.edge_label(row)
+        rc = (3 - e)[::-1].astype(np.int8)
+        return self.lookup_edge(rc)
 
     # ------------------------------------------------------------- queries
 

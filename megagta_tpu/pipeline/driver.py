@@ -1,0 +1,337 @@
+"""End-to-end multi-k pipeline driver.
+
+Mirrors the reference Python driver (src/megagta.py:777-831): build the read
+library, then for each k in k_list (each decremented by one, :815-816) build
+the SdBG (with the previous k's contigs as always-solid assist sequences),
+de-novo assemble intermediate k's, and at the final k find seeds per gene
+and run the HMM-guided search, then filter + translate the raw contigs.
+
+Checkpointing matches the reference's step counter (tmp/cp.txt + opts
+replay, src/megagta.py:316-385): every stage bumps a monotone counter and is
+skipped in --continue mode when <= the last completed step.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..assembly.denovo import assemble
+from ..graph.builder import build_sdbg
+from ..graph.sdbg import SdBG
+from ..hmm.heuristic import heuristic_table
+from ..hmm.parser import parse_hmm
+from ..io.fastx import parse_fastx_bytes, write_fasta
+from ..io.read_lib import ReadPackage, build_read_lib, load_read_lib
+from ..seeds.finder import find_seeds, read_seed_file, ref_kmer_set, write_seed_file
+from ..utils.logging import StageTimer, log, report_rusage
+from .tools import filter_by_len, translate_fasta
+
+__all__ = ["Options", "Pipeline"]
+
+
+@dataclass
+class Options:
+    """Defaults mirror src/megagta.py:87-117."""
+
+    out_dir: str = "./megagta_tpu_out"
+    k_list: list = field(default_factory=lambda: [30, 36, 45])
+    min_count: int = 1
+    prune_len: int = 20
+    low_cov_penalty: float = 0.5
+    max_tip_len: int = 150
+    min_contig_len: int = 450
+    min_standalone: int = 400
+    no_mercy: bool = False
+    gene_list: str = ""
+    reads: list = field(default_factory=list)  # se fastx paths
+    pe1: list = field(default_factory=list)
+    pe2: list = field(default_factory=list)
+    continue_mode: bool = False
+    use_wavefront: bool = True
+    pool_size: int = 1 << 14
+    max_steps: int = 1 << 13
+    float64: bool = False
+
+    def validate(self):
+        if not self.k_list:
+            raise ValueError("k list should not be empty")
+        if self.k_list[-1] % 3 != 0:
+            raise ValueError("The last k must be a multiple of 3")
+        if any(k < 15 or k > 127 for k in self.k_list):
+            raise ValueError("All k's should be in range [15, 127]")
+        if self.min_count <= 0:
+            raise ValueError("min_count must be greater than 0")
+        if self.min_count == 1:
+            self.no_mercy = True
+        if not self.gene_list:
+            raise ValueError("--gene-list could not be empty")
+        if self.prune_len <= 0:
+            raise ValueError("prune length should be >= 1")
+        if not (0 <= self.low_cov_penalty <= 1):
+            raise ValueError("low coverage penalty should be within [0, 1]")
+        if len(self.pe1) != len(self.pe2):
+            raise ValueError("Number of paired-end files not match")
+        if not (self.reads or self.pe1):
+            raise ValueError("No input files")
+
+
+class Pipeline:
+    def __init__(self, opt: Options):
+        opt.validate()
+        self.opt = opt
+        self.tmp_dir = os.path.join(opt.out_dir, "tmp")
+        os.makedirs(self.tmp_dir, exist_ok=True)
+        self.cp = 0
+        self.last_cp = -1
+        self.timer = StageTimer()
+        if opt.continue_mode:
+            self._load_checkpoint()
+        else:
+            self._write_opts()
+        self.gene_info = self._parse_gene_list()
+
+    # ---------------------------------------------------------- checkpoints
+
+    def _cp_path(self):
+        return os.path.join(self.tmp_dir, "cp.txt")
+
+    def _write_opts(self):
+        with open(os.path.join(self.tmp_dir, "opts.json"), "w") as f:
+            json.dump(
+                {k: v for k, v in self.opt.__dict__.items() if k != "continue_mode"},
+                f,
+                indent=1,
+            )
+        if os.path.exists(self._cp_path()):
+            os.remove(self._cp_path())
+
+    def _load_checkpoint(self):
+        opts_path = os.path.join(self.tmp_dir, "opts.json")
+        if os.path.exists(opts_path):
+            with open(opts_path) as f:
+                saved = json.load(f)
+            for k, v in saved.items():
+                setattr(self.opt, k, v)
+        if os.path.exists(self._cp_path()):
+            with open(self._cp_path()) as f:
+                lines = [ln for ln in f if ln.strip()]
+            self.last_cp = len(lines) - 1
+
+    def _step(self) -> bool:
+        """True when this stage must run (not yet checkpointed)."""
+        return (not self.opt.continue_mode) or (self.cp > self.last_cp)
+
+    def _mark(self):
+        with open(self._cp_path(), "a") as f:
+            f.write(f"{self.cp}\tdone\n")
+        self.cp += 1
+
+    # ------------------------------------------------------------- helpers
+
+    def _parse_gene_list(self) -> dict:
+        genes = {}
+        with open(self.opt.gene_list) as f:
+            for line in f:
+                toks = line.split()
+                if len(toks) >= 4:
+                    genes[toks[0]] = {
+                        "forward_hmm": toks[1],
+                        "reverse_hmm": toks[2],
+                        "ref_aligned": toks[3],
+                    }
+        return genes
+
+    def graph_prefix(self, k: int) -> str:
+        d = os.path.join(self.opt.out_dir, f"k{k}")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, str(k))
+
+    def contig_file(self, k: int) -> str:
+        return self.graph_prefix(k) + ".contigs.fa"
+
+    # -------------------------------------------------------------- stages
+
+    def build_lib(self) -> str:
+        lib_path = os.path.join(self.tmp_dir, "reads.lib")
+        if self._step():
+            with open(lib_path, "w") as f:
+                for i in range(len(self.opt.pe1)):
+                    f.write(f"{self.opt.pe1[i]},{self.opt.pe2[i]}\n")
+                    f.write(f"pe {self.opt.pe1[i]} {self.opt.pe2[i]}\n")
+                for r in self.opt.reads:
+                    f.write(f"{r}\nse {r}\n")
+            with self.timer.stage("buildlib"):
+                build_read_lib(lib_path, lib_path)
+            report_rusage("buildlib")
+        self._mark()
+        return lib_path
+
+    def build_graph(self, k: int, assist_file: str | None, lib_path: str) -> str:
+        prefix = self.graph_prefix(k)
+        if self._step():
+            pkg = load_read_lib(lib_path)
+            num_assist = 0
+            if assist_file and os.path.exists(assist_file):
+                flat, starts, _ = parse_fastx_bytes(assist_file)
+                assist = ReadPackage(flat, starts)
+                num_assist = assist.num_reads
+                pkg = ReadPackage.concat([pkg, assist])
+            with self.timer.stage(f"buildgraph_k{k}"):
+                if self.opt.min_count > 1 and not self.opt.no_mercy:
+                    from ..graph.mercy import solid_windows_with_mercy
+
+                    solid = solid_windows_with_mercy(
+                        pkg, k, self.opt.min_count, num_assist
+                    )
+                    dbg = build_sdbg(
+                        pkg, k, self.opt.min_count, solid_mask=solid,
+                        num_assist=num_assist,
+                    )
+                else:
+                    dbg = build_sdbg(
+                        pkg, k, self.opt.min_count, num_assist=num_assist
+                    )
+                dbg.save(prefix)
+            log(f"k={k}: SdBG with {dbg.size} rows saved to {prefix}")
+            report_rusage(f"buildgraph k{k}")
+        self._mark()
+        return prefix
+
+    def denovo(self, k: int, min_contig: int):
+        if self._step():
+            dbg = SdBG.load(self.graph_prefix(k))
+            with self.timer.stage(f"denovo_k{k}"):
+                contigs, stats = assemble(
+                    dbg,
+                    max_tip_len=self.opt.max_tip_len,
+                    min_contig=min_contig,
+                )
+            write_fasta(
+                self.contig_file(k),
+                [(f"contig_{i}_{c.name}", c.seq) for i, c in enumerate(contigs)],
+            )
+            log(f"k={k}: {stats['count']} contigs, N50 {stats['n50']}")
+            report_rusage(f"denovo k{k}")
+        self._mark()
+
+    def find_seed(self, k: int, gene: str, lib_path: str, prev_contigs: str | None):
+        seed_file = f"{self.graph_prefix(k)}_{gene}_starting_kmers.txt"
+        if self._step():
+            pkg = load_read_lib(lib_path)
+            records = [
+                (r.name, r.seq)
+                for r in _fastx_records(self.gene_info[gene]["ref_aligned"])
+            ]
+            refs = ref_kmer_set(records, (k + 1) // 3)
+            extra = []
+            if prev_contigs and os.path.exists(prev_contigs):
+                flat, starts, _ = parse_fastx_bytes(prev_contigs)
+                extra.append(ReadPackage(flat, starts))
+            with self.timer.stage(f"findstart_{gene}"):
+                seeds = find_seeds(pkg, refs, k + 1, extra)
+            write_seed_file(seed_file, seeds)
+            log(f"{gene}: {len(seeds)} starting kmers")
+            report_rusage(f"findstart {gene}")
+        self._mark()
+        return seed_file
+
+    def search(self, k: int, gene: str, seed_file: str) -> str:
+        out_file = f"{self.graph_prefix(k)}_raw_contigs_{gene}.fasta"
+        if self._step():
+            import jax.numpy as jnp
+
+            dbg = SdBG.load(self.graph_prefix(k))
+            info = self.gene_info[gene]
+            fwd = parse_hmm(info["forward_hmm"])
+            rev = parse_hmm(info["reverse_hmm"])
+            seeds = read_seed_file(seed_file)
+            with self.timer.stage(f"search_{gene}"):
+                if self.opt.use_wavefront:
+                    from ..search.runner import BatchSearcher
+                    from ..search.wavefront import WavefrontConfig
+
+                    bs = BatchSearcher(
+                        dbg, fwd, rev,
+                        heuristic_table(fwd), heuristic_table(rev),
+                        WavefrontConfig(
+                            pool_size=self.opt.pool_size,
+                            max_steps=self.opt.max_steps,
+                            prune_len=self.opt.prune_len,
+                            low_cov_penalty=self.opt.low_cov_penalty,
+                        ),
+                        dtype=jnp.float64 if self.opt.float64 else jnp.float32,
+                    )
+                    contigs = bs.search(seeds)
+                    log(f"{gene}: wavefront stats {bs.last_stats}")
+                else:
+                    from ..search.astar import (
+                        HMMGraphSearch,
+                        NodeEnumerator,
+                        search_seed,
+                    )
+
+                    fe = NodeEnumerator(fwd, heuristic_table(fwd), self.opt.low_cov_penalty)
+                    re_ = NodeEnumerator(rev, heuristic_table(rev), self.opt.low_cov_penalty)
+                    searcher = HMMGraphSearch(self.opt.prune_len)
+                    term, term_rev = {}, {}
+                    contigs = [
+                        search_seed(n, s, fwd, rev, fe, re_, dbg, searcher, term, term_rev)
+                        for n, s in seeds
+                    ]
+            write_fasta(
+                out_file,
+                [
+                    (f"{gene}_contig_{2 * i}_contig_{2 * i + 1}", c)
+                    for i, c in enumerate(contigs)
+                ],
+            )
+            log(f"{gene}: {len(contigs)} raw contigs")
+            report_rusage(f"search {gene}")
+        self._mark()
+        return out_file
+
+    def post_process(self, k: int):
+        post_dir = os.path.join(self.opt.out_dir, "contigs")
+        for gene in self.gene_info:
+            gdir = os.path.join(post_dir, gene)
+            os.makedirs(gdir, exist_ok=True)
+            raw = f"{self.graph_prefix(k)}_raw_contigs_{gene}.fasta"
+            nucl = os.path.join(gdir, "nucl_merged.fasta")
+            prot = os.path.join(gdir, "prot_merged.fasta")
+            if self._step():
+                stats = filter_by_len(raw, nucl, self.opt.min_contig_len)
+                log(f"{gene}: filtered {stats['count']} contigs, N50 {stats['n50']}")
+            self._mark()
+            if self._step():
+                translate_fasta(nucl, prot)
+            self._mark()
+
+    # ----------------------------------------------------------------- run
+
+    def run(self):
+        lib_path = self.build_lib()
+        k_list = [k - 1 for k in self.opt.k_list]  # megagta.py:815-816
+        for i, k in enumerate(k_list):
+            assist = self.contig_file(k_list[i - 1]) if i > 0 else None
+            self.build_graph(k, assist, lib_path)
+            if i != len(k_list) - 1:
+                # min_contig for intermediate contigs = next decremented k + 1
+                self.denovo(k, k_list[i + 1] + 1)
+            else:
+                prev = self.contig_file(k_list[i - 1]) if i > 0 else None
+                for gene in self.gene_info:
+                    seed_file = self.find_seed(k, gene, lib_path, prev)
+                    self.search(k, gene, seed_file)
+                self.post_process(k)
+        log(f"ALL DONE. Time elapsed: {self.timer.elapsed():.2f}s")
+        return self.timer.laps
+
+
+def _fastx_records(path: str):
+    from ..io.fastx import read_fastx
+
+    return list(read_fastx(path))

@@ -1,0 +1,96 @@
+"""Full multi-k pipeline through the CLI surface."""
+
+import os
+
+import numpy as np
+import pytest
+
+from megagta_tpu.constants import dna_to_str, str_to_dna
+from megagta_tpu.io.fastx import read_fastx, write_fasta
+from megagta_tpu.models.build import build_gene_resource
+from megagta_tpu.ops.dna import revcomp
+from megagta_tpu.pipeline.cli import main as cli_main
+from tests.synthetic import make_scenario
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pipe")
+    sc = make_scenario(seed=13, gene_aa_len=90, read_len=80, read_step=4)
+    write_fasta(
+        str(d / "reads.fa"), [(f"r{i}", s) for i, s in enumerate(sc["reads"])]
+    )
+    paths = build_gene_resource("tg", sc["aligned"], str(d))
+    with open(d / "gene_list.txt", "w") as f:
+        f.write(
+            f"tg {paths['forward_hmm']} {paths['reverse_hmm']} {paths['ref_aligned']}\n"
+        )
+    return d, sc
+
+
+def test_pipeline_multi_k(workdir):
+    d, sc = workdir
+    out = str(d / "out")
+    rc = cli_main(
+        [
+            "-r", str(d / "reads.fa"),
+            "-g", str(d / "gene_list.txt"),
+            "-o", out,
+            "--k-list", "24,30",
+            "--min-contig-len", "100",
+            "--max-tip-len", "30",
+        ]
+    )
+    assert rc == 0
+    # intermediate-k contigs exist
+    assert os.path.exists(os.path.join(out, "k23", "23.contigs.fa"))
+    # final outputs
+    nucl = os.path.join(out, "contigs", "tg", "nucl_merged.fasta")
+    prot = os.path.join(out, "contigs", "tg", "prot_merged.fasta")
+    assert os.path.exists(nucl) and os.path.exists(prot)
+    recs = list(read_fastx(nucl))
+    assert recs, "no final contigs"
+    gene = sc["gene"]
+    gene_rc = dna_to_str(revcomp(str_to_dna(gene)))
+    best = max((r.seq for r in recs), key=len)
+    assert best.upper() in gene or best.upper() in gene_rc
+    assert len(best) >= len(gene) - 60
+    # translated contigs are lowercase aa
+    prots = list(read_fastx(prot))
+    assert len(prots) == len(recs)
+    assert prots[0].seq == prots[0].seq.lower()
+
+
+def test_pipeline_continue_skips_stages(workdir):
+    d, sc = workdir
+    out = str(d / "out")
+    cp = os.path.join(out, "tmp", "cp.txt")
+    n_before = sum(1 for _ in open(cp))
+    rc = cli_main(
+        [
+            "-r", str(d / "reads.fa"),
+            "-g", str(d / "gene_list.txt"),
+            "-o", out,
+            "--k-list", "24,30",
+            "--min-contig-len", "100",
+            "--max-tip-len", "30",
+            "--continue",
+        ]
+    )
+    assert rc == 0
+    # same stage count appended once more (stages re-marked, none re-run)
+    n_after = sum(1 for _ in open(cp))
+    assert n_after == 2 * n_before
+
+
+def test_cli_tools(workdir, tmp_path):
+    d, sc = workdir
+    fa = tmp_path / "x.fa"
+    write_fasta(str(fa), [("a", "ACGTACGTACGT"), ("b", "ACG")])
+    out = tmp_path / "f.fa"
+    assert cli_main(["filterbylen", "5", str(fa), str(out)]) == 0
+    recs = list(read_fastx(str(out)))
+    assert [r.name for r in recs] == ["a"]
+    aa = tmp_path / "t.fa"
+    assert cli_main(["translate", str(out), str(aa)]) == 0
+    assert list(read_fastx(str(aa)))[0].seq == "tyvr"
