@@ -1,0 +1,153 @@
+"""Benchmark: HMM-guided search throughput on the deterministic synthetic
+rplB-like workload (BASELINE.md: search wall-clock + frontier-expansions/s/
+chip). Prints ONE JSON line.
+
+vs_baseline = reference C++ search wall-clock / our search wall-clock on the
+identical workload + seed list (>1 means faster than the reference). The
+reference number is measured live when the .ref_build binary exists,
+otherwise read from BASELINE_MEASURED.json (recorded on the dev machine).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+K = 45  # production k-list tail (megagta.py:89); graph k = 44
+CACHE = os.path.join(REPO, ".bench_cache")
+MEASURED = os.path.join(REPO, "BASELINE_MEASURED.json")
+
+
+def build_inputs():
+    from synth_workload import make_workload
+
+    from megagta_tpu.graph.builder import build_sdbg
+    from megagta_tpu.graph.sdbg import SdBG
+    from megagta_tpu.io.fastx import parse_fastx_bytes, read_fastx
+    from megagta_tpu.io.read_lib import ReadPackage
+    from megagta_tpu.seeds.finder import find_seeds, ref_kmer_set
+
+    os.makedirs(CACHE, exist_ok=True)
+    wl_dir = os.path.join(CACHE, "workload")
+    meta_p = os.path.join(CACHE, "meta.json")
+    if os.path.exists(meta_p):
+        with open(meta_p) as f:
+            meta = json.load(f)
+    else:
+        info = make_workload(wl_dir)
+        meta = {k: v for k, v in info.items() if isinstance(v, str)}
+        with open(meta_p, "w") as f:
+            json.dump(meta, f)
+
+    prefix = os.path.join(CACHE, "graph", str(K - 1))
+    os.makedirs(os.path.dirname(prefix), exist_ok=True)
+    t_build = None
+    if not os.path.exists(prefix + ".sdbg.npz"):
+        flat, starts, _ = parse_fastx_bytes(meta["reads_fa"])
+        pkg = ReadPackage(flat, starts)
+        t0 = time.perf_counter()
+        dbg = build_sdbg(pkg, K - 1)
+        t_build = time.perf_counter() - t0
+        dbg.save(prefix)
+    dbg = SdBG.load(prefix)
+
+    seeds_p = os.path.join(CACHE, "seeds.json")
+    if os.path.exists(seeds_p):
+        with open(seeds_p) as f:
+            seeds = [tuple(s) for s in json.load(f)]
+    else:
+        flat, starts, _ = parse_fastx_bytes(meta["reads_fa"])
+        pkg = ReadPackage(flat, starts)
+        records = [(r.name, r.seq) for r in read_fastx(meta["ref_aligned"])]
+        refs = ref_kmer_set(records, K // 3)
+        found = find_seeds(pkg, refs, K)
+        seeds = [(s.nucl.lower(), s.model_pos - 1) for s in found]
+        with open(seeds_p, "w") as f:
+            json.dump(seeds, f)
+    return meta, dbg, seeds, t_build
+
+
+def measure_ours(meta, dbg, seeds):
+    import jax
+    import jax.numpy as jnp
+
+    from megagta_tpu.hmm.heuristic import heuristic_table
+    from megagta_tpu.hmm.parser import parse_hmm
+    from megagta_tpu.search.runner import BatchSearcher
+    from megagta_tpu.search.wavefront import WavefrontConfig
+
+    fwd = parse_hmm(meta["forward_hmm"])
+    rev = parse_hmm(meta["reverse_hmm"])
+    bs = BatchSearcher(
+        dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
+        WavefrontConfig(pool_size=1 << 14, max_steps=1 << 12),
+        dtype=jnp.float32,
+    )
+    # warm-up / compile
+    bs.search(seeds[: min(8, len(seeds))])
+    t0 = time.perf_counter()
+    contigs = bs.search(seeds)
+    wall = time.perf_counter() - t0
+    return {
+        "search_wall_s": wall,
+        "expansions": bs.last_stats["expansions"],
+        "expansions_per_s": bs.last_stats["expansions"] / wall,
+        "seeds": len(seeds),
+        "seeds_per_s": len(seeds) / wall,
+        "contig_bases": sum(len(c) for c in contigs),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def measure_reference(meta):
+    import ref_oracle
+
+    if not ref_oracle.available():
+        if os.path.exists(MEASURED):
+            with open(MEASURED) as f:
+                return json.load(f)
+        return None
+    res = ref_oracle.run_reference_pipeline(
+        os.path.join(CACHE, "ref"),
+        meta["reads_fa"], meta["gene_name"],
+        meta["forward_hmm"], meta["reverse_hmm"], meta["ref_aligned"],
+        K=K, threads=os.cpu_count() or 1,
+    )
+    out = {
+        "ref_search_wall_s": res["timings"]["search"],
+        "ref_buildgraph_s": res["timings"]["buildgraph"],
+        "ref_threads": os.cpu_count() or 1,
+    }
+    with open(MEASURED, "w") as f:
+        json.dump(out, f, indent=1)
+    return out
+
+
+def main():
+    meta, dbg, seeds, t_build = build_inputs()
+    ours = measure_ours(meta, dbg, seeds)
+    ref = measure_reference(meta)
+    vs = (
+        ref["ref_search_wall_s"] / ours["search_wall_s"]
+        if ref and ref.get("ref_search_wall_s")
+        else 0.0
+    )
+    result = {
+        "metric": "search_frontier_expansions_per_s",
+        "value": round(ours["expansions_per_s"], 1),
+        "unit": "expansions/s/chip",
+        "vs_baseline": round(vs, 3),
+    }
+    detail = {**ours, **(ref or {}), "graph_rows": dbg.size}
+    print(json.dumps(result))
+    print("# " + json.dumps(detail), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,18 @@ from .sdbg import SdBG
 __all__ = ["build_sdbg", "edges_from_reads"]
 
 
+def _argsort_rows(keys: np.ndarray) -> np.ndarray:
+    """Lexicographic argsort of [N, W] uint64 rows; native radix sort when
+    available (megagta_tpu/native/radix_sort.cpp), numpy lexsort otherwise."""
+    if len(keys) >= (1 << 16):
+        from ..native import radix_argsort
+
+        perm = radix_argsort(keys)
+        if perm is not None:
+            return perm
+    return np.lexsort(tuple(keys[:, j] for j in range(keys.shape[1] - 1, -1, -1)))
+
+
 def _pack3(chars: np.ndarray) -> np.ndarray:
     """Pack [N, L] small-int chars (0..7) into [N, ceil(L/21)] uint64 keys,
     big-endian by char so tuple order == lexicographic char order."""
@@ -80,7 +92,7 @@ def edges_from_reads(
     both = np.concatenate([win, rc[~is_palin]], axis=0)
 
     packed = pack_kmers(both, k + 1)
-    order = np.lexsort(tuple(packed[:, j] for j in range(packed.shape[1] - 1, -1, -1)))
+    order = _argsort_rows(packed)
     sp = packed[order]
     new_run = np.ones(len(sp), dtype=bool)
     if len(sp) > 1:
@@ -184,7 +196,7 @@ def sdbg_from_edges(edges: np.ndarray, mult: np.ndarray, k: int) -> SdBG:
 
     # ---- global sort ------------------------------------------------------
     key_words = _pack3(np.concatenate([groups, rowparts[:, None]], axis=1))
-    order = np.lexsort(tuple(key_words[:, j] for j in range(key_words.shape[1] - 1, -1, -1)))
+    order = _argsort_rows(key_words)
     groups = groups[order]
     w_char = w_char[order]
     row_mult = row_mult[order]
@@ -251,7 +263,7 @@ def sdbg_from_edges(edges: np.ndarray, mult: np.ndarray, k: int) -> SdBG:
 
 def _unique_rows(keys: np.ndarray):
     """Sorted-unique over [N, W] uint64 rows; returns (unique, inverse)."""
-    order = np.lexsort(tuple(keys[:, j] for j in range(keys.shape[1] - 1, -1, -1)))
+    order = _argsort_rows(keys)
     sk = keys[order]
     new_run = np.ones(len(sk), bool)
     if len(sk) > 1:

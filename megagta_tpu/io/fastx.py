@@ -74,11 +74,19 @@ def read_fastx(path: str) -> Iterator[FastxRecord]:
             raise ValueError(f"{path}: not FASTA/FASTQ (starts with {first!r})")
 
 
-def parse_fastx_bytes(path: str, trim_n: bool = True):
+def parse_fastx_bytes(path: str, trim_n: bool = True, names_needed: bool = False):
     """Parse a fastx file into (flat_codes int8, starts int64, names list).
 
-    Applies trimN semantics: each read keeps its first N-free run.
+    Applies trimN semantics: each read keeps its first N-free run. Uses the
+    native C++ parser (megagta_tpu/native) when available and names are not
+    requested.
     """
+    if trim_n and not names_needed and path != "-":
+        from ..native import parse_fastx_native
+
+        res = parse_fastx_native(path)
+        if res is not None:
+            return res[0], res[1], []
     seqs: list[np.ndarray] = []
     names: list[str] = []
     for rec in read_fastx(path):

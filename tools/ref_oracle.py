@@ -18,7 +18,7 @@ def available() -> bool:
     return os.path.exists(REF_BIN)
 
 
-def _run(args, stdout=None, timeout=600):
+def _run(args, stdout=None, timeout=3600):
     t0 = time.perf_counter()
     out = open(stdout, "w") if stdout else subprocess.DEVNULL
     try:
