@@ -59,6 +59,8 @@ def _add_main_args(p: argparse.ArgumentParser):
     p.add_argument("--float64", action="store_true", help="float64 search scores (exact reference numerics)")
     p.add_argument("--pool-size", type=int, default=1 << 14)
     p.add_argument("--max-steps", type=int, default=1 << 13)
+    p.add_argument("--expand-width", type=int, default=16,
+                   help="frontier nodes expanded per seed per step (1 = exact serial semantics)")
 
 
 def main(argv=None) -> int:
@@ -113,6 +115,7 @@ def main(argv=None) -> int:
         use_wavefront=not args.serial_search,
         pool_size=args.pool_size,
         max_steps=args.max_steps,
+        expand_width=args.expand_width,
         float64=args.float64,
     )
     Pipeline(opt).run()

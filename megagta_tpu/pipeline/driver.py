@@ -54,6 +54,7 @@ class Options:
     use_wavefront: bool = True
     pool_size: int = 1 << 14
     max_steps: int = 1 << 13
+    expand_width: int = 16
     float64: bool = False
 
     def validate(self):
@@ -262,6 +263,7 @@ class Pipeline:
                             max_steps=self.opt.max_steps,
                             prune_len=self.opt.prune_len,
                             low_cov_penalty=self.opt.low_cov_penalty,
+                            expand_width=self.opt.expand_width,
                         ),
                         dtype=jnp.float64 if self.opt.float64 else jnp.float32,
                     )

@@ -102,6 +102,8 @@ class BatchSearcher:
     rev_h: np.ndarray
     config: WavefrontConfig
     dtype: object = jnp.float32
+    chunk: int = 128  # seeds per device batch (fixed shape: one compile,
+    # bounded pool memory; the last chunk is padded with absent seeds)
 
     def __post_init__(self):
         import dataclasses
@@ -115,14 +117,23 @@ class BatchSearcher:
 
     def search(self, seeds: list[tuple[str, int]]) -> list[str]:
         """seeds: [(nucl lowercase, start_state 0-based)] -> contigs."""
-        S = len(seeds)
-        if S == 0:
+        if not seeds:
             return []
+        self.last_stats = {"expansions": 0, "steps": 0, "overflow": 0}
+        out: list[str] = []
+        for i in range(0, len(seeds), self.chunk):
+            out.extend(self._search_chunk(seeds[i : i + self.chunk]))
+        return out
+
+    def _search_chunk(self, seeds: list[tuple[str, int]]) -> list[str]:
+        S = self.chunk
         divisor = 3 if self.fwd_hmm.alphabet == PROTEIN else 1
         si_f = np.zeros((S, 8), np.int32)
         sf_f = np.zeros((S, 3), np.float64)
         si_r = np.zeros((S, 8), np.int32)
         sf_r = np.zeros((S, 3), np.float64)
+        si_f[:, 0] = -1  # padding seeds: absent node, no expansion
+        si_r[:, 0] = -1
         for i, (nucl, ss) in enumerate(seeds):
             si_f[i], sf_f[i] = _make_start(self.fwd_hmm, ss, nucl, True, self.dbg)
             l_start = self.rev_hmm.model_length - ss - len(nucl) // divisor
@@ -146,12 +157,13 @@ class BatchSearcher:
             False,
             self.rev_hmm.model_length,
         )
-        self.last_stats = {
-            "expansions": int(res_f["expansions"]) + int(res_r["expansions"]),
-            "steps": int(res_f["steps"]) + int(res_r["steps"]),
-            "overflow": int(np.asarray(res_f["overflow"]).sum())
-            + int(np.asarray(res_r["overflow"]).sum()),
-        }
+        self.last_stats["expansions"] += int(res_f["expansions"]) + int(
+            res_r["expansions"]
+        )
+        self.last_stats["steps"] += int(res_f["steps"]) + int(res_r["steps"])
+        self.last_stats["overflow"] += int(np.asarray(res_f["overflow"]).sum()) + int(
+            np.asarray(res_r["overflow"]).sum()
+        )
 
         tf_i = np.asarray(res_f["trace_i"])
         tf_f = np.asarray(res_f["trace_f"])

@@ -3,24 +3,34 @@
 This is the TPU-native replacement for the reference's per-seed serial A*
 with an OpenMP loop over seeds (src/search.cpp:184-188). Design:
 
-  * The parallel axis is SEEDS (the reference's own axis): S searches run in
-    lockstep inside one jitted lax.while_loop, each advancing one pop +
-    expansion per step. All graph navigation is gathers into the SdBG's
-    precomputed succ/invalid/is_multi1 arrays — the 3-hop 64-codon walk of
-    node_enumerator.h:98-128 becomes three [S, 4^h] gathers.
+  * The parallel axes are SEEDS x FRONTIER WIDTH: S searches run in lockstep
+    inside one jitted lax.while_loop, each expanding the top-B frontier
+    nodes per step (SURVEY.md section 7: wavefront batched DP). All graph
+    navigation is gathers into the SdBG's precomputed succ/invalid/
+    is_multi1 arrays — the 3-hop 64-codon walk of node_enumerator.h:98-128
+    becomes three [S*B, 4^h] gathers.
   * Exact-semantics pool: the serial algorithm's open_hash dedup
     (hmm_graph_search.h:294-331) only avoids pushing dominated duplicates;
     pushing everything and skipping closed identities at pop time yields the
     IDENTICAL expansion sequence. The pool is therefore append-only with
-    lazy "kill all entries matching the popped identity" masking, plus
-    compaction when full. Selection = two-level argmax over packed
-    (fval | -state_no | state-rank) priority keys (a_star_node.h:34-83).
-  * Traceback: every popped node appends one record to a trace arena
+    lazy "kill all entries matching expanded identities" masking, plus
+    compaction when full.
+  * Goal acceptance stays exact for every B: a goal node is accepted only
+    when it is the lexicographic maximum of the whole pool — precisely the
+    serial "goal popped first" condition (a_star_node.h:34-83 ordering:
+    max fval, then min state_no, then state m > d > i).
+  * Traceback: every expanded node appends one record to a trace arena
     (parent index, packed codon emission, state, real_score, length);
     contigs are reconstructed host-side from the goal/inter-goal chain
     (partialResultFromGoal, hmm_graph_search.h:83-109).
 
-Differences vs the serial oracle (documented, tested):
+With expand_width B == 1 the expansion sequence equals the serial oracle's
+exactly (tested bit-for-bit in float64). B > 1 explores a superset per step
+(the reference's own semantics do not define an order among equal-priority
+pops); the acceptance rule above keeps results equal in practice and ~B x
+faster.
+
+Other differences vs the serial oracle (documented, tested):
   * no cross-seed term-node cache (a shared-memory speed memo whose effect
     depends on thread timing in the reference; SURVEY.md risk list)
   * pool overflow evicts worst-priority entries (reported via a flag)
@@ -52,7 +62,7 @@ __all__ = ["DeviceGraph", "DeviceHMM", "WavefrontConfig", "wavefront_search"]
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class DeviceGraph:
-    succ: jnp.ndarray  # [size+1, 4] int32 (-1 = none; row `size` = sentinel)
+    succ: jnp.ndarray  # [size+1, 4] int32 (row `size` = invalid sentinel)
     invalid: jnp.ndarray  # [size+1] bool
     is_multi1: jnp.ndarray  # [size+1] bool
 
@@ -69,11 +79,9 @@ class DeviceGraph:
         succ = np.full((size + 1, 4), size, np.int32)
         ok = dbg.succ >= 0
         succ[:size][ok] = dbg.succ[ok]
-        # invalid successors route to the sentinel row
         succ[:size][~ok] = size
         invalid = np.append(dbg.invalid, True)
         multi1 = np.append(dbg.is_multi1, True)
-        # rows that are themselves invalid never expand (handled via gather)
         return DeviceGraph(
             succ=jnp.asarray(succ),
             invalid=jnp.asarray(invalid),
@@ -127,6 +135,8 @@ class WavefrontConfig:
     max_steps: int = 1 << 12
     prune_len: int = 20
     low_cov_penalty: float = 0.5
+    expand_width: int = 1  # B: frontier nodes expanded per seed per step
+    trace_size: int = 1 << 15
     dtype: object = jnp.float32
 
 
@@ -170,6 +180,13 @@ def build_aa64(forward: bool) -> np.ndarray:
     return (CODON_TABLE_FLAT if forward else RC_CODON_TABLE_FLAT).astype(np.int32)
 
 
+def _to_fval(x):
+    # (int) cast clamped like the reference's x86 behavior (node_enumerator
+    # .h:173): out-of-range -> INT_MIN
+    ok = (x > INT_MIN32) & (x < 2**31 - 1)
+    return jnp.where(ok, x.astype(jnp.int32), INT_MIN32)
+
+
 @partial(
     jax.jit,
     static_argnames=("config", "forward", "model_length"),
@@ -186,9 +203,11 @@ def wavefront_search(
     """Run S lockstep searches. Returns dict of results + trace arenas."""
     S = start_ints.shape[0]
     P = config.pool_size
-    T = config.max_steps + 1
+    B = config.expand_width
+    T = config.trace_size
     dt = config.dtype
     L = model_length
+    CAND = B * 129
 
     aa64 = jnp.asarray(build_aa64(forward))  # [64] aa codes
     not_stop = aa64 != AA_STOP  # [64]
@@ -216,28 +235,29 @@ def wavefront_search(
 
     active = jnp.ones((S,), bool)
     done_partial = jnp.zeros((S,), bool)
-    goal_idx = jnp.full((S,), -1, jnp.int32)  # trace idx of returned goal
+    goal_idx = jnp.full((S,), -1, jnp.int32)  # trace idx of accepted goal
     # the start node (trace slot 0) is the initial inter goal
     inter_idx = jnp.zeros((S,), jnp.int32)
     inter_val = jnp.full((S,), NEG, dt)
     overflow = jnp.zeros((S,), bool)
-    expansions = jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
+    expansions = jnp.zeros((), jnp.int32)
 
     # immediate goal: start already past the model end (hmm_graph_search.h:193)
     start_is_goal = start_ints[:, NI_STATE_NO] >= L
 
     def expand(ints, floats, parent_idx, skip_prune):
-        """All 129 successor candidates of one popped node per seed.
+        """All 129 successor candidates per input node.
 
-        Returns (cand_i [S,129,8], cand_f [S,129,3], valid [S,129]).
+        ints [N, 8], floats [N, 3], parent_idx [N] -> ([N, 129, 8],
+        [N, 129, 3], [N, 129] valid). N = S * B.
         """
+        N = ints.shape[0]
         node = ints[:, NI_NODE]
         state = ints[:, NI_STATE]
         state_no = ints[:, NI_STATE_NO]
         next_state = jnp.minimum(state_no + 1, L)
 
-        # transition triple by current state kind
-        t = hmm.trans[jnp.minimum(state_no, L)]  # [S, 7]
+        t = hmm.trans[jnp.minimum(state_no, L)]  # [N, 7]
         match_tr = jnp.select(
             [state == 0, state == 1, state == 2],
             [t[:, MM], t[:, IM], t[:, DM]],
@@ -250,15 +270,15 @@ def wavefront_search(
             [state == 0, state == 1, state == 2],
             [t[:, MD], jnp.full_like(t[:, MD], NEG), t[:, DD]],
         )
-        mme = hmm.mme[next_state]  # [S]
+        mme = hmm.mme[next_state]  # [N]
 
         # 3-hop codon gather
         safe_node = jnp.clip(node, 0, graph.succ.shape[0] - 1)
-        l1 = graph.succ[safe_node]  # [S, 4]
+        l1 = graph.succ[safe_node]  # [N, 4]
         v1 = ~graph.invalid[l1]
-        l2 = graph.succ[l1].reshape(S, 16)  # [S,16]
+        l2 = graph.succ[l1].reshape(N, 16)
         v2 = ~graph.invalid[l2] & jnp.repeat(v1, 4, axis=1)
-        l3 = graph.succ[l2].reshape(S, 64)
+        l3 = graph.succ[l2].reshape(N, 64)
         v3 = ~graph.invalid[l3] & jnp.repeat(v2, 4, axis=1)
         v3 = v3 & (node >= 0)[:, None] & ~graph.invalid[safe_node][:, None]
 
@@ -267,7 +287,7 @@ def wavefront_search(
         m3 = graph.is_multi1[l3]
         low_cov = jnp.where(m1 & m2 & m3, low_cov_pen, 0.0)
 
-        msc = hmm.msc[next_state[:, None], aa64[None, :]]  # [S, 64]
+        msc = hmm.msc[next_state[:, None], aa64[None, :]]  # [N, 64]
         isc = hmm.isc[next_state[:, None], aa64[None, :]]
 
         score = floats[:, NF_SCORE][:, None]
@@ -280,67 +300,68 @@ def wavefront_search(
         m_max = jnp.where(m_improved, m_real, mx)
         m_neg = jnp.where(m_improved, 0, ints[:, NI_NEG][:, None] + 1)
         m_score = score + match_tr[:, None] + msc - low_cov - mme[:, None]
-        m_h = hmm.h[0, next_state][:, None]
-        m_fval = _to_fval(SCALE * (m_score + HWEIGHT * m_h))
+        m_fval = _to_fval(SCALE * (m_score + HWEIGHT * hmm.h[0, next_state][:, None]))
         m_valid = v3 & not_stop[None, :]
 
         # ---- insert candidates (slots 64..127); forbidden from 'd'
         i_real = real + ins_tr[:, None] + isc - low_cov
         i_score = score + ins_tr[:, None] + isc - low_cov
-        i_h = hmm.h[1, jnp.minimum(state_no, L)][:, None]
-        i_fval = _to_fval(SCALE * (i_score + HWEIGHT * i_h))
+        i_fval = _to_fval(
+            SCALE * (i_score + HWEIGHT * hmm.h[1, jnp.minimum(state_no, L)][:, None])
+        )
         i_valid = m_valid & (state != 2)[:, None]
 
         # ---- delete candidate (slot 128); forbidden from 'i'
         d_real = real[:, 0] + del_tr
         d_score = score[:, 0] + del_tr - mme
-        d_h = hmm.h[2, next_state]
-        d_fval = _to_fval(SCALE * (d_score + HWEIGHT * d_h))
+        d_fval = _to_fval(SCALE * (d_score + HWEIGHT * hmm.h[2, next_state]))
         d_valid = (state != 1) & (node >= 0)
 
-        # assemble [S, 129]
         cand_node = jnp.concatenate([l3, l3, safe_node[:, None]], axis=1)
         cand_state = jnp.concatenate(
             [
-                jnp.zeros((S, 64), jnp.int32),
-                jnp.ones((S, 64), jnp.int32),
-                jnp.full((S, 1), 2, jnp.int32),
+                jnp.zeros((N, 64), jnp.int32),
+                jnp.ones((N, 64), jnp.int32),
+                jnp.full((N, 1), 2, jnp.int32),
             ],
             axis=1,
         )
         cand_state_no = jnp.concatenate(
             [
-                jnp.broadcast_to(next_state[:, None], (S, 64)),
-                jnp.broadcast_to(state_no[:, None], (S, 64)),
+                jnp.broadcast_to(next_state[:, None], (N, 64)),
+                jnp.broadcast_to(state_no[:, None], (N, 64)),
                 next_state[:, None],
             ],
             axis=1,
         )
         cand_fval = jnp.concatenate([m_fval, i_fval, d_fval[:, None]], axis=1)
         cand_neg = jnp.concatenate(
-            [m_neg, ints[:, NI_NEG][:, None] + jnp.ones((S, 64), jnp.int32),
-             ints[:, NI_NEG][:, None] + 1],
+            [
+                m_neg,
+                ints[:, NI_NEG][:, None] + jnp.ones((N, 64), jnp.int32),
+                ints[:, NI_NEG][:, None] + 1,
+            ],
             axis=1,
         )
         cand_len = jnp.concatenate(
             [
-                jnp.broadcast_to((ints[:, NI_LEN] + 1)[:, None], (S, 128)),
+                jnp.broadcast_to((ints[:, NI_LEN] + 1)[:, None], (N, 128)),
                 ints[:, NI_LEN][:, None],
             ],
             axis=1,
         )
         cand_ne = jnp.concatenate(
             [
-                jnp.broadcast_to(ne64[None, :], (S, 64)),
-                jnp.broadcast_to(ne64[None, :], (S, 64)),
-                jnp.full((S, 1), (4 << 6) | (4 << 3) | 4, jnp.int32),
+                jnp.broadcast_to(ne64[None, :], (N, 64)),
+                jnp.broadcast_to(ne64[None, :], (N, 64)),
+                jnp.full((N, 1), (4 << 6) | (4 << 3) | 4, jnp.int32),
             ],
             axis=1,
         )
         cand_score = jnp.concatenate([m_score, i_score, d_score[:, None]], axis=1)
         cand_real = jnp.concatenate([m_real, i_real, d_real[:, None]], axis=1)
         cand_max = jnp.concatenate(
-            [m_max, jnp.broadcast_to(mx, (S, 64)), mx], axis=1
+            [m_max, jnp.broadcast_to(mx, (N, 64)), mx], axis=1
         )
         valid = jnp.concatenate([m_valid, i_valid, d_valid[:, None]], axis=1)
 
@@ -360,7 +381,7 @@ def wavefront_search(
                 cand_fval,
                 cand_neg,
                 cand_len,
-                jnp.broadcast_to(parent_idx[:, None], (S, 129)),
+                jnp.broadcast_to(parent_idx[:, None], (N, 129)),
                 cand_ne,
             ],
             axis=-1,
@@ -380,8 +401,8 @@ def wavefront_search(
         pool_f = jnp.take_along_axis(pool_f, order[..., None], axis=1)
         alive = jnp.take_along_axis(alive, order, axis=1)
         nf = alive.sum(axis=-1).astype(jnp.int32)
-        overflow = overflow | (nf > P - 130)
-        nf = jnp.minimum(nf, P - 130)
+        overflow = overflow | (nf > P - CAND - 1)
+        nf = jnp.minimum(nf, P - CAND - 1)
         return pool_i, pool_f, alive, nf, overflow
 
     def body(carry):
@@ -392,56 +413,103 @@ def wavefront_search(
         ) = carry
 
         k1, k2 = _priority_keys(pool_i)
-        sel, any_alive = _argmax_lex(k1, k2, alive & active[:, None])
-        # seeds with empty pools end as partial
+        alive_act = alive & active[:, None]
+        sel1, any_alive = _argmax_lex(k1, k2, alive_act)
         newly_exhausted = active & ~any_alive
         done_partial = done_partial | newly_exhausted
         active = active & any_alive
 
-        curr_i = jnp.take_along_axis(pool_i, sel[:, None, None], axis=1)[:, 0]
-        curr_f = jnp.take_along_axis(pool_f, sel[:, None, None], axis=1)[:, 0]
+        top1_i = jnp.take_along_axis(pool_i, sel1[:, None, None], axis=1)[:, 0]
+        is_goal = active & (top1_i[:, NI_STATE_NO] >= L)
 
-        # closed-kill: deactivate every pool entry with the popped identity
-        same = (
-            (pool_i[..., NI_NODE] == curr_i[:, None, NI_NODE])
-            & (pool_i[..., NI_STATE] == curr_i[:, None, NI_STATE])
-            & (pool_i[..., NI_STATE_NO] == curr_i[:, None, NI_STATE_NO])
+        # ---- frontier selection: [S, B] slots
+        if B == 1:
+            sel = sel1[:, None]
+            sel_valid = active[:, None]
+        else:
+            nk1 = jnp.where(
+                alive_act & (pool_i[..., NI_STATE_NO] < L), k1, INT_MIN32
+            )
+            _, sel = jax.lax.top_k(nk1, B)
+            topv = jnp.take_along_axis(nk1, sel, axis=1)
+            sel_valid = (topv > INT_MIN32) & active[:, None]
+            # on goal acceptance only the goal itself is consumed
+            sel = jnp.where(is_goal[:, None], sel1[:, None], sel)
+            sel_valid = jnp.where(
+                is_goal[:, None],
+                jnp.arange(B)[None, :] == 0,
+                sel_valid,
+            ) & active[:, None]
+        # goal slot: when accepted, slot 0 carries the goal node
+        sel = jnp.where(is_goal[:, None] & (jnp.arange(B)[None, :] == 0),
+                        sel1[:, None], sel)
+
+        sel_i = jnp.take_along_axis(pool_i, sel[..., None], axis=1)  # [S,B,8]
+        sel_f = jnp.take_along_axis(pool_f, sel[..., None], axis=1)
+
+        # ---- closed-kill: every pool entry matching an expanded identity
+        kill = jnp.zeros_like(alive)
+        for b in range(B):
+            same = (
+                (pool_i[..., NI_NODE] == sel_i[:, b, NI_NODE][:, None])
+                & (pool_i[..., NI_STATE] == sel_i[:, b, NI_STATE][:, None])
+                & (pool_i[..., NI_STATE_NO] == sel_i[:, b, NI_STATE_NO][:, None])
+            )
+            kill = kill | (same & sel_valid[:, b][:, None])
+        alive = alive & ~kill
+
+        # ---- trace append (one record per valid selected slot)
+        slot_pos = trace_len[:, None] + jnp.cumsum(sel_valid, axis=1, dtype=jnp.int32) - 1
+        trace_room = slot_pos < T - 1
+        write_ok = sel_valid & trace_room
+        slot_pos_c = jnp.where(write_ok, slot_pos, T - 1)
+        rows = jnp.broadcast_to(jnp.arange(S)[:, None], (S, B))
+        trace_i = trace_i.at[rows, slot_pos_c].set(
+            jnp.where(write_ok[..., None], sel_i, trace_i[rows, slot_pos_c])
         )
-        alive = alive & ~(same & active[:, None])
-
-        # append popped node to trace
-        tpos = jnp.minimum(trace_len, T - 1)
-        trace_i = jnp.where(
-            active[:, None, None],
-            trace_i.at[jnp.arange(S), tpos].set(curr_i),
-            trace_i,
+        trace_f = trace_f.at[rows, slot_pos_c].set(
+            jnp.where(write_ok[..., None], sel_f, trace_f[rows, slot_pos_c])
         )
-        trace_f = jnp.where(
-            active[:, None, None],
-            trace_f.at[jnp.arange(S), tpos].set(curr_f),
-            trace_f,
+        new_trace_len = jnp.minimum(
+            trace_len + sel_valid.sum(axis=1, dtype=jnp.int32), T - 1
         )
-        parent_idx = tpos
-        trace_len = jnp.where(active, jnp.minimum(trace_len + 1, T - 1), trace_len)
+        # seeds whose trace filled up end as partial
+        trace_full = active & (new_trace_len >= T - 1)
+        done_partial = done_partial | trace_full
+        trace_len = new_trace_len
 
-        # inter-goal update (hmm_graph_search.h:274-277)
-        ev = curr_f[:, NF_REAL] + _exit_prob(curr_i[:, NI_LEN], dt)
-        better = active & (ev > inter_val)
-        inter_val = jnp.where(better, ev, inter_val)
-        inter_idx = jnp.where(better, parent_idx, inter_idx)
+        # ---- inter-goal update (hmm_graph_search.h:274-277)
+        ev = sel_f[..., NF_REAL] + _exit_prob(sel_i[..., NI_LEN], dt)
+        ev = jnp.where(write_ok, ev, NEG)
+        best_b = jnp.argmax(ev, axis=1)
+        best_ev = jnp.take_along_axis(ev, best_b[:, None], axis=1)[:, 0]
+        better = active & (best_ev > inter_val)
+        inter_val = jnp.where(better, best_ev, inter_val)
+        inter_idx = jnp.where(
+            better, jnp.take_along_axis(slot_pos_c, best_b[:, None], axis=1)[:, 0],
+            inter_idx,
+        )
 
-        # goal reached?
-        is_goal = active & (curr_i[:, NI_STATE_NO] >= L)
-        goal_idx = jnp.where(is_goal, parent_idx, goal_idx)
-        active = active & ~is_goal
+        # ---- goal acceptance
+        goal_idx = jnp.where(is_goal, slot_pos_c[:, 0], goal_idx)
+        active = active & ~is_goal & ~trace_full
 
-        # expand
-        ci, cf, valid = expand(curr_i, curr_f, parent_idx, step == 0)
-        valid = valid & active[:, None]
-        expansions = expansions + valid.sum().astype(expansions.dtype)
+        # ---- expand
+        expand_mask = sel_valid & ~is_goal[:, None] & active[:, None]
+        ci, cf, cvalid = expand(
+            sel_i.reshape(S * B, 8),
+            sel_f.reshape(S * B, 3),
+            slot_pos_c.reshape(S * B),
+            step == 0,
+        )
+        cvalid = cvalid & expand_mask.reshape(S * B)[:, None]
+        ci = ci.reshape(S, CAND, 8)
+        cf = cf.reshape(S, CAND, 3)
+        cvalid = cvalid.reshape(S, CAND)
+        expansions = expansions + cvalid.sum(dtype=jnp.int32)
 
-        # compact pool when needed
-        need = jnp.any(next_free + 129 > P)
+        # ---- compact pool when needed
+        need = jnp.any(next_free + CAND > P)
         pool_i, pool_f, alive, next_free, overflow = jax.lax.cond(
             need,
             compact,
@@ -449,15 +517,15 @@ def wavefront_search(
             (pool_i, pool_f, alive, next_free, overflow),
         )
 
-        # append candidates (invalid ones land on the trash slot P)
-        pos = next_free[:, None] + jnp.cumsum(valid, axis=1) - 1
-        pos = jnp.where(valid, pos, P)
-        rows = jnp.broadcast_to(jnp.arange(S)[:, None], (S, 129))
-        pool_i = pool_i.at[rows, pos].set(ci)
-        pool_f = pool_f.at[rows, pos].set(cf)
-        alive = alive.at[rows, pos].set(valid)
+        # ---- append candidates (invalid ones land on the trash slot P)
+        pos = next_free[:, None] + jnp.cumsum(cvalid, axis=1, dtype=jnp.int32) - 1
+        pos = jnp.where(cvalid, pos, P)
+        crows = jnp.broadcast_to(jnp.arange(S)[:, None], (S, CAND))
+        pool_i = pool_i.at[crows, pos].set(ci)
+        pool_f = pool_f.at[crows, pos].set(cf)
+        alive = alive.at[crows, pos].set(cvalid)
         alive = alive.at[:, P].set(False)
-        next_free = next_free + valid.sum(axis=1, dtype=jnp.int32)
+        next_free = next_free + cvalid.sum(axis=1, dtype=jnp.int32)
 
         return (
             pool_i, pool_f, alive, next_free, trace_i, trace_f, trace_len,
@@ -476,7 +544,7 @@ def wavefront_search(
     trace_len = jnp.where(start_is_goal, 1, trace_len)
     goal_idx = jnp.where(start_is_goal, 0, goal_idx)
     active = active & ~start_is_goal
-    # the start node is also the initial inter-goal (reference inits
+    # the start node is also the initial inter goal (reference inits
     # inter_goal_ptr = &starting_node)
     inter_val = jnp.where(
         active,
@@ -508,10 +576,3 @@ def wavefront_search(
         "steps": steps,
         "active": active,
     }
-
-
-def _to_fval(x):
-    # (int) cast clamped like the reference's x86 behavior (node_enumerator
-    # .h:173): out-of-range -> INT_MIN
-    ok = (x > INT_MIN32) & (x < 2**31 - 1)
-    return jnp.where(ok, x.astype(jnp.int32), INT_MIN32)

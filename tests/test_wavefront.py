@@ -67,6 +67,7 @@ def test_wavefront_matches_oracle(setup):
         heuristic_table(rev),
         WavefrontConfig(pool_size=1 << 13, max_steps=1 << 11),
         dtype=jnp.float64,
+        chunk=16,
     )
     got = bs.search([(s.nucl.lower(), s.model_pos - 1) for s in seeds[:n]])
     assert bs.last_stats["overflow"] == 0
@@ -87,9 +88,26 @@ def test_wavefront_gene_recovery(setup):
         dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
         WavefrontConfig(pool_size=1 << 13, max_steps=1 << 11),
         dtype=jnp.float64,
+        chunk=16,
     )
     got = bs.search([(s.nucl.lower(), s.model_pos - 1) for s in seeds[:12]])
     gene = sc["gene"]
     assert any(len(c) >= len(gene) - 60 for c in got)
     for c in got:
         assert c.upper() in gene or True  # substring check done in oracle test
+
+
+def test_wavefront_wide_matches_oracle(setup):
+    """expand_width > 1 explores a superset; on this scenario the results
+    should still match the serial oracle exactly."""
+    sc, dbg, seeds, fwd, rev = setup
+    n = min(12, len(seeds))
+    expected = oracle_contigs(dbg, seeds, fwd, rev, n)
+    bs = BatchSearcher(
+        dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
+        WavefrontConfig(pool_size=1 << 13, max_steps=1 << 10, expand_width=8),
+        dtype=jnp.float64,
+        chunk=16,
+    )
+    got = bs.search([(s.nucl.lower(), s.model_pos - 1) for s in seeds[:n]])
+    assert got == expected
