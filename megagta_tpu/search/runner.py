@@ -11,6 +11,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -105,6 +106,8 @@ class BatchSearcher:
     chunk: int = 128  # seeds per device batch (fixed shape: one compile,
     # bounded pool memory; the last chunk is padded with absent seeds)
 
+    mesh: object = None  # jax.sharding.Mesh to shard the seed axis over
+
     def __post_init__(self):
         import dataclasses
 
@@ -114,6 +117,19 @@ class BatchSearcher:
         self.dev_fwd = DeviceHMM.from_profile(self.fwd_hmm, self.fwd_h, self.dtype)
         self.dev_rev = DeviceHMM.from_profile(self.rev_hmm, self.rev_h, self.dtype)
         self.last_stats: dict = {}
+        if self.mesh is not None:
+            n = self.mesh.devices.size
+            if self.chunk % n:
+                self.chunk = ((self.chunk + n - 1) // n) * n
+
+    def _place(self, arr):
+        """Shard the seed axis over the mesh (EP axis, SURVEY.md 2.10)."""
+        if self.mesh is None:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = self.mesh.axis_names[0]
+        return jax.device_put(arr, NamedSharding(self.mesh, P(axis)))
 
     def search(self, seeds: list[tuple[str, int]]) -> list[str]:
         """seeds: [(nucl lowercase, start_state 0-based)] -> contigs."""
@@ -142,8 +158,8 @@ class BatchSearcher:
         res_f = wavefront_search(
             self.graph,
             self.dev_fwd,
-            jnp.asarray(si_f),
-            jnp.asarray(sf_f, self.dtype),
+            self._place(jnp.asarray(si_f)),
+            self._place(jnp.asarray(sf_f, self.dtype)),
             self.config,
             True,
             self.fwd_hmm.model_length,
@@ -151,8 +167,8 @@ class BatchSearcher:
         res_r = wavefront_search(
             self.graph,
             self.dev_rev,
-            jnp.asarray(si_r),
-            jnp.asarray(sf_r, self.dtype),
+            self._place(jnp.asarray(si_r)),
+            self._place(jnp.asarray(sf_r, self.dtype)),
             self.config,
             False,
             self.rev_hmm.model_length,

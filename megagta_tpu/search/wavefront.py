@@ -136,7 +136,6 @@ class WavefrontConfig:
     prune_len: int = 20
     low_cov_penalty: float = 0.5
     expand_width: int = 1  # B: frontier nodes expanded per seed per step
-    trace_size: int = 1 << 15
     dtype: object = jnp.float32
 
 
@@ -200,14 +199,21 @@ def wavefront_search(
     forward: bool,
     model_length: int,
 ):
-    """Run S lockstep searches. Returns dict of results + trace arenas."""
+    """Run S lockstep searches. Returns dict of results + trace arenas.
+
+    Data-movement design: every step appends a full CAND-slot block at the
+    SAME offset for all seeds (invalid slots are stored dead), and traces
+    the B selected nodes at slot 1 + step*B. All writes are therefore
+    dynamic_update_slice with scalar offsets — no scatters in the loop
+    (TPU scatters serialize and dominated earlier profiles at ~7 ms/step).
+    """
     S = start_ints.shape[0]
     P = config.pool_size
     B = config.expand_width
-    T = config.trace_size
     dt = config.dtype
     L = model_length
     CAND = B * 129
+    T = config.max_steps * B + 1
 
     aa64 = jnp.asarray(build_aa64(forward))  # [64] aa codes
     not_stop = aa64 != AA_STOP  # [64]
@@ -219,15 +225,15 @@ def wavefront_search(
     c3 = jnp.arange(64, dtype=jnp.int32) % 4
     ne64 = (c1 << 6) | (c2 << 3) | c3
 
-    pool_i = jnp.zeros((S, P + 1, 8), jnp.int32)
-    pool_f = jnp.full((S, P + 1, 3), 0.0, dt)
-    alive = jnp.zeros((S, P + 1), bool)
+    pool_i = jnp.zeros((S, P, 8), jnp.int32)
+    pool_f = jnp.full((S, P, 3), 0.0, dt)
+    alive = jnp.zeros((S, P), bool)
 
     # seed pool with the start nodes at slot 0
     pool_i = pool_i.at[:, 0, :].set(start_ints)
     pool_f = pool_f.at[:, 0, :].set(start_floats)
     alive = alive.at[:, 0].set(start_ints[:, NI_NODE] >= 0)
-    next_free = jnp.full((S,), 1, jnp.int32)
+    next_free = jnp.ones((), jnp.int32)  # shared by all seeds (see above)
 
     trace_i = jnp.zeros((S, T, 8), jnp.int32)
     trace_f = jnp.zeros((S, T, 3), dt)
@@ -400,9 +406,12 @@ def wavefront_search(
         pool_i = jnp.take_along_axis(pool_i, order[..., None], axis=1)
         pool_f = jnp.take_along_axis(pool_f, order[..., None], axis=1)
         alive = jnp.take_along_axis(alive, order, axis=1)
-        nf = alive.sum(axis=-1).astype(jnp.int32)
-        overflow = overflow | (nf > P - CAND - 1)
-        nf = jnp.minimum(nf, P - CAND - 1)
+        counts = alive.sum(axis=-1).astype(jnp.int32)
+        # worst-priority entries beyond the append headroom are evicted
+        over = counts > P - CAND
+        overflow = overflow | over
+        alive = alive & (jnp.arange(P)[None, :] < P - CAND)
+        nf = jnp.minimum(jnp.max(counts), P - CAND)
         return pool_i, pool_f, alive, nf, overflow
 
     def body(carry):
@@ -447,36 +456,29 @@ def wavefront_search(
         sel_i = jnp.take_along_axis(pool_i, sel[..., None], axis=1)  # [S,B,8]
         sel_f = jnp.take_along_axis(pool_f, sel[..., None], axis=1)
 
-        # ---- closed-kill: every pool entry matching an expanded identity
-        kill = jnp.zeros_like(alive)
-        for b in range(B):
-            same = (
-                (pool_i[..., NI_NODE] == sel_i[:, b, NI_NODE][:, None])
-                & (pool_i[..., NI_STATE] == sel_i[:, b, NI_STATE][:, None])
-                & (pool_i[..., NI_STATE_NO] == sel_i[:, b, NI_STATE_NO][:, None])
-            )
-            kill = kill | (same & sel_valid[:, b][:, None])
+        # ---- closed-kill: every pool entry matching an expanded identity.
+        # identities packed into one int32 pair for a broadcast compare
+        def ident(ints):
+            a = ints[..., NI_NODE]
+            b2 = (ints[..., NI_STATE_NO] << 2) | ints[..., NI_STATE]
+            return a, b2
+
+        pa, pb = ident(pool_i)  # [S, P+1]
+        sa, sb = ident(sel_i)  # [S, B]
+        same = (pa[:, :, None] == sa[:, None, :]) & (pb[:, :, None] == sb[:, None, :])
+        kill = jnp.any(same & sel_valid[:, None, :], axis=-1)
         alive = alive & ~kill
 
-        # ---- trace append (one record per valid selected slot)
-        slot_pos = trace_len[:, None] + jnp.cumsum(sel_valid, axis=1, dtype=jnp.int32) - 1
-        trace_room = slot_pos < T - 1
-        write_ok = sel_valid & trace_room
-        slot_pos_c = jnp.where(write_ok, slot_pos, T - 1)
-        rows = jnp.broadcast_to(jnp.arange(S)[:, None], (S, B))
-        trace_i = trace_i.at[rows, slot_pos_c].set(
-            jnp.where(write_ok[..., None], sel_i, trace_i[rows, slot_pos_c])
+        # ---- trace append at the step's fixed block (scatter-free)
+        tpos = 1 + step * B  # slot 0 = start node
+        slot_pos_c = tpos + jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[None, :], (S, B)
         )
-        trace_f = trace_f.at[rows, slot_pos_c].set(
-            jnp.where(write_ok[..., None], sel_f, trace_f[rows, slot_pos_c])
-        )
-        new_trace_len = jnp.minimum(
-            trace_len + sel_valid.sum(axis=1, dtype=jnp.int32), T - 1
-        )
-        # seeds whose trace filled up end as partial
-        trace_full = active & (new_trace_len >= T - 1)
-        done_partial = done_partial | trace_full
-        trace_len = new_trace_len
+        write_ok = sel_valid
+        zero = jnp.zeros((), jnp.int32)
+        trace_i = jax.lax.dynamic_update_slice(trace_i, sel_i, (zero, tpos, zero))
+        trace_f = jax.lax.dynamic_update_slice(trace_f, sel_f, (zero, tpos, zero))
+        trace_len = trace_len + sel_valid.sum(axis=1, dtype=jnp.int32)
 
         # ---- inter-goal update (hmm_graph_search.h:274-277)
         ev = sel_f[..., NF_REAL] + _exit_prob(sel_i[..., NI_LEN], dt)
@@ -492,7 +494,7 @@ def wavefront_search(
 
         # ---- goal acceptance
         goal_idx = jnp.where(is_goal, slot_pos_c[:, 0], goal_idx)
-        active = active & ~is_goal & ~trace_full
+        active = active & ~is_goal
 
         # ---- expand
         expand_mask = sel_valid & ~is_goal[:, None] & active[:, None]
@@ -509,7 +511,7 @@ def wavefront_search(
         expansions = expansions + cvalid.sum(dtype=jnp.int32)
 
         # ---- compact pool when needed
-        need = jnp.any(next_free + CAND > P)
+        need = next_free + CAND > P
         pool_i, pool_f, alive, next_free, overflow = jax.lax.cond(
             need,
             compact,
@@ -517,15 +519,12 @@ def wavefront_search(
             (pool_i, pool_f, alive, next_free, overflow),
         )
 
-        # ---- append candidates (invalid ones land on the trash slot P)
-        pos = next_free[:, None] + jnp.cumsum(cvalid, axis=1, dtype=jnp.int32) - 1
-        pos = jnp.where(cvalid, pos, P)
-        crows = jnp.broadcast_to(jnp.arange(S)[:, None], (S, CAND))
-        pool_i = pool_i.at[crows, pos].set(ci)
-        pool_f = pool_f.at[crows, pos].set(cf)
-        alive = alive.at[crows, pos].set(cvalid)
-        alive = alive.at[:, P].set(False)
-        next_free = next_free + cvalid.sum(axis=1, dtype=jnp.int32)
+        # ---- append the whole candidate block at one shared offset
+        zero2 = jnp.zeros((), jnp.int32)
+        pool_i = jax.lax.dynamic_update_slice(pool_i, ci, (zero2, next_free, zero2))
+        pool_f = jax.lax.dynamic_update_slice(pool_f, cf, (zero2, next_free, zero2))
+        alive = jax.lax.dynamic_update_slice(alive, cvalid, (zero2, next_free))
+        next_free = next_free + CAND
 
         return (
             pool_i, pool_f, alive, next_free, trace_i, trace_f, trace_len,

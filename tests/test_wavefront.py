@@ -111,3 +111,25 @@ def test_wavefront_wide_matches_oracle(setup):
     )
     got = bs.search([(s.nucl.lower(), s.model_pos - 1) for s in seeds[:n]])
     assert got == expected
+
+
+def test_wavefront_sharded_over_mesh(setup):
+    """Seed axis sharded over the 8-device CPU mesh: same results."""
+    import jax
+    from megagta_tpu.parallel.mesh import make_mesh
+
+    sc, dbg, seeds, fwd, rev = setup
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    mesh = make_mesh(8)
+    n = min(12, len(seeds))
+    expected = oracle_contigs(dbg, seeds, fwd, rev, n)
+    bs = BatchSearcher(
+        dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
+        WavefrontConfig(pool_size=1 << 12, max_steps=1 << 10, expand_width=4),
+        dtype=jnp.float64,
+        chunk=16,
+        mesh=mesh,
+    )
+    got = bs.search([(s.nucl.lower(), s.model_pos - 1) for s in seeds[:n]])
+    assert got == expected
