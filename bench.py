@@ -86,7 +86,7 @@ def measure_ours(meta, dbg, seeds):
     rev = parse_hmm(meta["reverse_hmm"])
     bs = BatchSearcher(
         dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
-        WavefrontConfig(pool_size=1 << 14, max_steps=1 << 11, expand_width=32),
+        WavefrontConfig(pool_size=1 << 14, max_steps=1 << 11, expand_width=8, use_cache=True),
         dtype=jnp.float32,
         chunk=128,
     )

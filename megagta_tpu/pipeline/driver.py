@@ -55,6 +55,7 @@ class Options:
     pool_size: int = 1 << 14
     max_steps: int = 1 << 13
     expand_width: int = 16
+    use_cache: bool = True
     float64: bool = False
 
     def validate(self):
@@ -264,6 +265,7 @@ class Pipeline:
                             prune_len=self.opt.prune_len,
                             low_cov_penalty=self.opt.low_cov_penalty,
                             expand_width=self.opt.expand_width,
+                            use_cache=self.opt.use_cache,
                         ),
                         dtype=jnp.float64 if self.opt.float64 else jnp.float32,
                     )

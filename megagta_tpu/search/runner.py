@@ -70,25 +70,118 @@ def _chain(trace_i, trace_f, idx):
     return out
 
 
-def _contig_part(trace_i, trace_f, inter_idx) -> str:
-    """getHighestScoreNode + partialResultFromGoal combined."""
-    if inter_idx < 0:
+def _emission(trace_i, idx) -> str:
+    if int(trace_i[idx, NI_STATE]) == 2:  # delete nodes emit nothing
         return ""
+    ne = int(trace_i[idx, NI_NE])
+    return "".join("acgt-"[(ne >> (3 * i)) & 7] for i in (2, 1, 0))
+
+
+def _best_chain(trace_i, trace_f, inter_idx):
+    """getHighestScoreNode: root..best chain (deepest max real_score)."""
+    if inter_idx < 0:
+        return []
     chain = _chain(trace_i, trace_f, int(inter_idx))  # child ... root
     best = chain[0]
     for idx in chain[1:]:
         if trace_f[idx, NF_REAL] > trace_f[best, NF_REAL]:
             best = idx
-    parts = []
-    for idx in _chain(trace_i, trace_f, best):
-        if int(trace_i[idx, NI_PARENT]) < 0:
-            break  # root (seed) emits nothing
-        if int(trace_i[idx, NI_STATE]) != 2:  # delete nodes emit nothing
-            ne = int(trace_i[idx, NI_NE])
-            parts.append(
-                "".join("acgt-"[(ne >> (3 * i)) & 7] for i in (2, 1, 0))
+    upto = _chain(trace_i, trace_f, best)
+    upto.reverse()  # root ... best
+    return upto
+
+
+def _contig_part(trace_i, trace_f, inter_idx) -> str:
+    """getHighestScoreNode + partialResultFromGoal combined."""
+    chain = _best_chain(trace_i, trace_f, inter_idx)
+    return "".join(
+        _emission(trace_i, idx) for idx in chain if int(trace_i[idx, NI_PARENT]) >= 0
+    )
+
+
+class _PathCache:
+    """Host side of the cross-seed path cache (term-node equivalent).
+
+    Holds identity -> (suffix string after the node on a goal path, max
+    real_score downstream) plus the open-address device arrays probed by the
+    wavefront kernel."""
+
+    def __init__(self, size_log2: int = 21):
+        self.H = 1 << size_log2
+        self.keys_a = np.full(self.H, -1, np.int32)
+        self.keys_b = np.full(self.H, -1, np.int32)
+        self.vals = np.full(self.H, -1, np.int32)
+        self.entries: list[tuple[str, float]] = []
+        self.seen: set = set()
+        self._device = None
+
+    def device_tables(self):
+        import jax.numpy as jnp
+
+        if self._device is None:
+            self._device = (
+                jnp.asarray(self.keys_a),
+                jnp.asarray(self.keys_b),
+                jnp.asarray(self.vals),
             )
-    return "".join(reversed(parts))
+        return self._device
+
+    def _insert(self, a: int, b: int, entry_idx: int):
+        h = (np.uint32(a) * np.uint32(2654435761)) ^ (
+            np.uint32(b) * np.uint32(40503)
+        )
+        for probe in range(4):
+            idx = int((h + np.uint32(probe)) % np.uint32(self.H))
+            if self.keys_a[idx] == -1:
+                self.keys_a[idx] = a
+                self.keys_b[idx] = b
+                self.vals[idx] = entry_idx
+                return
+        # table neighborhood full: drop (lossy cache)
+
+    def harvest(self, trace_i, trace_f, inter_idx):
+        """Insert every node of a completed goal path (first insert wins,
+        like the reference HashMapST, src/fast... hmm_graph_search.h:102)."""
+        chain = _best_chain(trace_i, trace_f, inter_idx)
+        if len(chain) < 2:
+            return
+        emissions = [_emission(trace_i, idx) for idx in chain]
+        suffix_max = float(trace_f[chain[-1], NF_REAL])
+        # suffix after node j = emissions j+1..end
+        suffixes = [""]
+        for e in reversed(emissions[1:]):
+            suffixes.append(e + suffixes[-1])
+        suffixes.reverse()  # suffixes[j] = emissions after chain[j]
+        dirty = False
+        for j, idx in enumerate(chain):
+            a = int(trace_i[idx, NI_NODE])
+            b = (int(trace_i[idx, NI_STATE_NO]) << 2) | int(trace_i[idx, NI_STATE])
+            if a < 0 or (a, b) in self.seen:
+                continue
+            self.seen.add((a, b))
+            self.entries.append((suffixes[j], suffix_max))
+            self._insert(a, b, len(self.entries) - 1)
+            dirty = True
+        if dirty:
+            self._device = None
+
+    def compose(self, trace_i, trace_f, cached_at: int, entry_idx: int) -> str:
+        """Prefix emissions + cached suffix, with the reference's
+        highest-real-score truncation over the composite chain."""
+        suffix, suffix_max = self.entries[entry_idx]
+        chain = _chain(trace_i, trace_f, cached_at)  # hit ... root
+        prefix_best = chain[0]
+        for idx in chain[1:]:
+            if trace_f[idx, NF_REAL] > trace_f[prefix_best, NF_REAL]:
+                prefix_best = idx
+        if suffix_max >= float(trace_f[prefix_best, NF_REAL]):
+            full = "".join(
+                _emission(trace_i, idx)
+                for idx in reversed(chain)
+                if int(trace_i[idx, NI_PARENT]) >= 0
+            )
+            return full + suffix
+        return _contig_part(trace_i, trace_f, cached_at)
 
 
 _COMP = {"a": "t", "c": "g", "g": "c", "t": "a", "-": "-"}
@@ -117,6 +210,8 @@ class BatchSearcher:
         self.dev_fwd = DeviceHMM.from_profile(self.fwd_hmm, self.fwd_h, self.dtype)
         self.dev_rev = DeviceHMM.from_profile(self.rev_hmm, self.rev_h, self.dtype)
         self.last_stats: dict = {}
+        self.cache_f = _PathCache() if self.config.use_cache else None
+        self.cache_r = _PathCache() if self.config.use_cache else None
         if self.mesh is not None:
             n = self.mesh.devices.size
             if self.chunk % n:
@@ -155,6 +250,8 @@ class BatchSearcher:
             l_start = self.rev_hmm.model_length - ss - len(nucl) // divisor
             si_r[i], sf_r[i] = _make_start(self.rev_hmm, l_start, nucl, False, self.dbg)
 
+        cf_tab = self.cache_f.device_tables() if self.cache_f else (None, None, None)
+        cr_tab = self.cache_r.device_tables() if self.cache_r else (None, None, None)
         res_f = wavefront_search(
             self.graph,
             self.dev_fwd,
@@ -163,6 +260,7 @@ class BatchSearcher:
             self.config,
             True,
             self.fwd_hmm.model_length,
+            *cf_tab,
         )
         res_r = wavefront_search(
             self.graph,
@@ -172,6 +270,7 @@ class BatchSearcher:
             self.config,
             False,
             self.rev_hmm.model_length,
+            *cr_tab,
         )
         self.last_stats["expansions"] += int(res_f["expansions"]) + int(
             res_r["expansions"]
@@ -188,10 +287,30 @@ class BatchSearcher:
         inter_f = np.asarray(res_f["inter_idx"])
         inter_r = np.asarray(res_r["inter_idx"])
 
+        ce_f = np.asarray(res_f["cached_entry"])
+        ca_f = np.asarray(res_f["cached_at"])
+        ce_r = np.asarray(res_r["cached_entry"])
+        ca_r = np.asarray(res_r["cached_at"])
+        goal_f = np.asarray(res_f["goal_idx"])
+        goal_r = np.asarray(res_r["goal_idx"])
+
         contigs = []
         for i, (nucl, _) in enumerate(seeds):
-            right = _contig_part(tf_i[i], tf_f[i], inter_f[i])
-            left = _contig_part(tr_i[i], tr_f[i], inter_r[i])
+            if self.cache_f and ce_f[i] >= 0:
+                right = self.cache_f.compose(tf_i[i], tf_f[i], int(ca_f[i]), int(ce_f[i]))
+            else:
+                right = _contig_part(tf_i[i], tf_f[i], inter_f[i])
+                if self.cache_f is not None and goal_f[i] >= 0:
+                    self.cache_f.harvest(tf_i[i], tf_f[i], inter_f[i])
+            if self.cache_r and ce_r[i] >= 0:
+                left = self.cache_r.compose(tr_i[i], tr_f[i], int(ca_r[i]), int(ce_r[i]))
+            else:
+                left = _contig_part(tr_i[i], tr_f[i], inter_r[i])
+                if self.cache_r is not None and goal_r[i] >= 0:
+                    self.cache_r.harvest(tr_i[i], tr_f[i], inter_r[i])
             left_rc = "".join(_COMP[c] for c in reversed(left))
             contigs.append(left_rc + nucl.lower() + right)
+        self.last_stats["cache_hits"] = self.last_stats.get("cache_hits", 0) + int(
+            (ce_f >= 0).sum() + (ce_r >= 0).sum()
+        )
         return contigs

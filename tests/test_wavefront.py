@@ -133,3 +133,23 @@ def test_wavefront_sharded_over_mesh(setup):
     )
     got = bs.search([(s.nucl.lower(), s.model_pos - 1) for s in seeds[:n]])
     assert got == expected
+
+
+def test_wavefront_path_cache(setup):
+    """Cross-seed path cache (turbo): same contigs on the clean scenario,
+    with hits actually occurring on later chunks."""
+    sc, dbg, seeds, fwd, rev = setup
+    n = min(12, len(seeds))
+    expected = oracle_contigs(dbg, seeds, fwd, rev, n)
+    bs = BatchSearcher(
+        dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
+        WavefrontConfig(
+            pool_size=1 << 12, max_steps=1 << 10, expand_width=4,
+            use_cache=True,
+        ),
+        dtype=jnp.float64,
+        chunk=4,  # several chunks so the cache takes effect
+    )
+    got = bs.search([(s.nucl.lower(), s.model_pos - 1) for s in seeds[:n]])
+    assert bs.last_stats["cache_hits"] > 0
+    assert got == expected
