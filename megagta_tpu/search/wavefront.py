@@ -137,6 +137,7 @@ class WavefrontConfig:
     low_cov_penalty: float = 0.5
     expand_width: int = 1  # B: frontier nodes expanded per seed per step
     use_cache: bool = False  # cross-seed path-cache short-circuit (turbo)
+    use_pallas: bool = False  # fused Pallas pool-selection kernel
     dtype: object = jnp.float32
 
 
@@ -460,9 +461,17 @@ def wavefront_search(
             expansions, cached_entry, cached_at, step,
         ) = carry
 
-        k1, k2 = _priority_keys(pool_i)
         alive_act = alive & active[:, None]
-        sel1, any_alive = _argmax_lex(k1, k2, alive_act)
+        if config.use_pallas:
+            from ..ops.pallas.pool_select import pool_select
+
+            sel1, any_alive = pool_select(
+                pool_i, alive_act, interpret=jax.default_backend() != "tpu"
+            )
+            k1, _ = _priority_keys(pool_i)
+        else:
+            k1, k2 = _priority_keys(pool_i)
+            sel1, any_alive = _argmax_lex(k1, k2, alive_act)
         newly_exhausted = active & ~any_alive
         done_partial = done_partial | newly_exhausted
         active = active & any_alive

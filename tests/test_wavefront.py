@@ -153,3 +153,18 @@ def test_wavefront_path_cache(setup):
     got = bs.search([(s.nucl.lower(), s.model_pos - 1) for s in seeds[:n]])
     assert bs.last_stats["cache_hits"] > 0
     assert got == expected
+
+
+def test_wavefront_pallas_selection(setup):
+    """Fused Pallas pool-selection (interpret mode on CPU): same contigs."""
+    sc, dbg, seeds, fwd, rev = setup
+    n = 6
+    expected = oracle_contigs(dbg, seeds, fwd, rev, n)
+    bs = BatchSearcher(
+        dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
+        WavefrontConfig(pool_size=1 << 12, max_steps=1 << 10, use_pallas=True),
+        dtype=jnp.float64,
+        chunk=8,
+    )
+    got = bs.search([(s.nucl.lower(), s.model_pos - 1) for s in seeds[:n]])
+    assert got == expected
