@@ -86,7 +86,7 @@ def measure_ours(meta, dbg, seeds):
     rev = parse_hmm(meta["reverse_hmm"])
     bs = BatchSearcher(
         dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
-        WavefrontConfig(pool_size=1 << 14, max_steps=1 << 11, expand_width=8, use_cache=True),
+        WavefrontConfig(pool_size=1 << 12, max_steps=1 << 12, expand_width=1, use_cache=True),
         dtype=jnp.float32,
         chunk=128,
     )
@@ -131,6 +131,9 @@ def measure_reference(meta):
 
 
 def main():
+    from megagta_tpu.utils.jaxconfig import setup_jax
+
+    setup_jax()
     meta, dbg, seeds, t_build = build_inputs()
     ours = measure_ours(meta, dbg, seeds)
     ref = measure_reference(meta)

@@ -83,6 +83,9 @@ class Options:
 
 class Pipeline:
     def __init__(self, opt: Options):
+        from ..utils.jaxconfig import setup_jax
+
+        setup_jax()
         opt.validate()
         self.opt = opt
         self.tmp_dir = os.path.join(opt.out_dir, "tmp")

@@ -127,11 +127,9 @@ class _PathCache:
         return self._device
 
     def _insert(self, a: int, b: int, entry_idx: int):
-        h = (np.uint32(a) * np.uint32(2654435761)) ^ (
-            np.uint32(b) * np.uint32(40503)
-        )
+        h = ((a * 2654435761) ^ (b * 40503)) & 0xFFFFFFFF
         for probe in range(4):
-            idx = int((h + np.uint32(probe)) % np.uint32(self.H))
+            idx = (h + probe) % self.H
             if self.keys_a[idx] == -1:
                 self.keys_a[idx] = a
                 self.keys_b[idx] = b
@@ -146,7 +144,7 @@ class _PathCache:
         if len(chain) < 2:
             return
         emissions = [_emission(trace_i, idx) for idx in chain]
-        suffix_max = float(trace_f[chain[-1], NF_REAL])
+        end_real = float(trace_f[chain[-1], NF_REAL])
         # suffix after node j = emissions j+1..end
         suffixes = [""]
         for e in reversed(emissions[1:]):
@@ -159,7 +157,11 @@ class _PathCache:
             if a < 0 or (a, b) in self.seen:
                 continue
             self.seen.add((a, b))
-            self.entries.append((suffixes[j], suffix_max))
+            # real_score increments from this node onward are path-local, so
+            # the downstream maximum is stored as a DELTA from this node's
+            # score and translated into the hitting seed's accumulation
+            delta_max = end_real - float(trace_f[idx, NF_REAL])
+            self.entries.append((suffixes[j], delta_max))
             self._insert(a, b, len(self.entries) - 1)
             dirty = True
         if dirty:
@@ -168,12 +170,13 @@ class _PathCache:
     def compose(self, trace_i, trace_f, cached_at: int, entry_idx: int) -> str:
         """Prefix emissions + cached suffix, with the reference's
         highest-real-score truncation over the composite chain."""
-        suffix, suffix_max = self.entries[entry_idx]
+        suffix, delta_max = self.entries[entry_idx]
         chain = _chain(trace_i, trace_f, cached_at)  # hit ... root
         prefix_best = chain[0]
         for idx in chain[1:]:
             if trace_f[idx, NF_REAL] > trace_f[prefix_best, NF_REAL]:
                 prefix_best = idx
+        suffix_max = float(trace_f[chain[0], NF_REAL]) + delta_max
         if suffix_max >= float(trace_f[prefix_best, NF_REAL]):
             full = "".join(
                 _emission(trace_i, idx)

@@ -3,6 +3,8 @@ import json, os, sys, time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path[:0] = [REPO, os.path.join(REPO, "tools")]
 import numpy as np
+from megagta_tpu.utils.jaxconfig import setup_jax
+setup_jax()
 import jax, jax.numpy as jnp
 
 from megagta_tpu.graph.sdbg import SdBG
