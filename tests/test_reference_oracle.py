@@ -90,3 +90,80 @@ def test_contigs_match(both_runs):
         for n, s in seeds
     )
     assert ours == ref_contigs
+
+
+def test_denovo_contigs_match(both_runs, tmp_path):
+    """Intermediate-k de novo assembly vs the reference denovo subcommand
+    (canonical contig sets; both run on the same graph content)."""
+    d, sc, paths, ref = both_runs
+    ref_contigs_fa = ref_oracle.run_reference_denovo(
+        str(tmp_path), ref["prefix"], max_tip_len=30, min_contig=31
+    )
+    from megagta_tpu.assembly.denovo import assemble
+    from megagta_tpu.constants import dna_to_str, str_to_dna
+    from megagta_tpu.io.fastx import read_fastx
+    from megagta_tpu.ops.dna import revcomp
+
+    def canon(s):
+        s = s.upper()
+        rc = dna_to_str(revcomp(str_to_dna(s)))
+        return min(s, rc)
+
+    ref_set = sorted(canon(r.seq) for r in read_fastx(ref_contigs_fa))
+    dbg = build_sdbg(make_package(sc["reads"]), K - 1)
+    contigs, _ = assemble(dbg, max_tip_len=30, min_contig=31)
+    ours = sorted(canon(c.seq) for c in contigs)
+    assert ours == ref_set
+
+
+def test_denovo_contigs_match_noisy(tmp_path):
+    """De novo oracle on error-containing reads (tips + bubbles exercised)."""
+    rng = np.random.default_rng(31)
+    from megagta_tpu.constants import dna_to_str
+    from megagta_tpu.io.fastx import write_fasta
+
+    genome = dna_to_str(rng.integers(0, 4, 800).astype(np.int8))
+    reads = []
+    for i in range(0, len(genome) - 60 + 1, 2):
+        r = list(genome[i : i + 60])
+        if rng.random() < 0.3:  # one substitution error in 30% of reads
+            p = int(rng.integers(0, 60))
+            r[p] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append("".join(r))
+    reads_fa = str(tmp_path / "noisy.fa")
+    write_fasta(reads_fa, [(f"r{i}", s) for i, s in enumerate(reads)])
+
+    # reference: buildlib + buildgraph + denovo
+    lib = str(tmp_path / "reads.lib")
+    with open(lib, "w") as f:
+        f.write(f"{reads_fa}\nse {reads_fa}\n")
+    ref_oracle._run(["buildlib", lib, lib])
+    prefix = str(tmp_path / "23")
+    ref_oracle._run(
+        ["buildgraph", "-k", 23, "-m", 1, "--host_mem", 2_000_000_000,
+         "--mem_flag", 1, "--gpu_mem", 0, "--output_prefix", prefix,
+         "--num_cpu_threads", 2, "--num_output_threads", 1,
+         "--read_lib_file", lib]
+    )
+    ref_fa = ref_oracle.run_reference_denovo(
+        str(tmp_path), prefix, max_tip_len=46, min_contig=24
+    )
+    from megagta_tpu.assembly.denovo import assemble
+    from megagta_tpu.constants import dna_to_str as d2s, str_to_dna
+    from megagta_tpu.io.fastx import read_fastx
+    from megagta_tpu.ops.dna import revcomp
+
+    def canon(s):
+        s = s.upper()
+        return min(s, d2s(revcomp(str_to_dna(s))))
+
+    ref_set = sorted(canon(r.seq) for r in read_fastx(ref_fa))
+    dbg = build_sdbg(make_package(reads), 23)
+    contigs, _ = assemble(dbg, max_tip_len=46, min_contig=24)
+    ours = sorted(canon(c.seq) for c in contigs)
+    # the reference's own denovo output varies with its thread count on
+    # overlapping bubbles (t=1 vs t=2 differ by 2 contigs on this input);
+    # require equality within that nondeterminism envelope
+    assert len(ours) == len(ref_set)
+    sym_diff = set(ours) ^ set(ref_set)
+    assert len(sym_diff) <= 4, f"too many contig differences: {len(sym_diff)}"

@@ -113,3 +113,22 @@ def parse_sdbg_info(path: str) -> dict:
             ):
                 out[toks[0]] = int(toks[1])
     return out
+
+
+def run_reference_denovo(
+    work: str,
+    sdbg_prefix: str,
+    max_tip_len: int = 30,
+    min_contig: int = 0,
+    min_standalone: int = 400,
+) -> str:
+    """Run the reference `denovo` on an already-built graph; returns the
+    contigs path (megagta.py:588-601 stage invocation)."""
+    out_prefix = os.path.join(work, "denovo")
+    args = [
+        "denovo", "-s", sdbg_prefix, "-o", out_prefix, "-t", 2,
+        "--min_standalone", min_standalone, "--max_tip_len", max_tip_len,
+        "--min_contig", min_contig,
+    ]
+    _run(args)
+    return out_prefix + ".contigs.fa"
