@@ -38,6 +38,14 @@ def build_parser() -> argparse.ArgumentParser:
     bl = sub.add_parser("buildlib", help="build a binary read library")
     bl.add_argument("manifest")
     bl.add_argument("out_prefix")
+
+    gs = sub.add_parser(
+        "graphstat",
+        help="inspect a built SdBG (stats; optionally a k-mer's neighborhood"
+        " — the reference's path_viewer/graph_example debug role)",
+    )
+    gs.add_argument("prefix", help="graph prefix (as passed to the builder)")
+    gs.add_argument("kmer", nargs="?", help="(k+1)-mer to look up")
     return p
 
 
@@ -87,6 +95,28 @@ def main(argv=None) -> int:
         from .tools import read_stat
 
         print(read_stat(args.files))
+        return 0
+    if cmd == "graphstat":
+        from ..graph.sdbg import SdBG
+        from ..constants import dna_to_str, str_to_dna
+
+        g = SdBG.load(args.prefix)
+        print(
+            f"k={g.k} rows={g.size} nodes={int(g.last.sum())} "
+            f"tips={int(g.is_tip.sum())} valid={int((~g.invalid).sum())}"
+        )
+        wc = [int((g.w == i).sum()) for i in range(9)]
+        print("W counts ($ A C G T A- C- G- T-):", " ".join(map(str, wc)))
+        if args.kmer:
+            row = g.lookup_edge(str_to_dna(args.kmer))
+            if row < 0:
+                print(f"{args.kmer}: not found")
+                return 1
+            print(f"row {row}: mult={int(g.mult[row])} valid={not bool(g.invalid[row])}")
+            outs = g.outgoing_edges(row)
+            print("out edges:", [(int(r), dna_to_str(g.edge_label(r))) for r in outs])
+            ins = g.incoming_rows(row)
+            print("in rows:", [(int(r), dna_to_str(g.edge_label(r))) for r in ins])
         return 0
     if cmd == "buildlib":
         from ..io.read_lib import build_read_lib

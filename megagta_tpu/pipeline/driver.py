@@ -201,6 +201,7 @@ class Pipeline:
                         pkg, k, self.opt.min_count, num_assist=num_assist
                     )
                 dbg.save(prefix)
+                _write_counting_histogram(dbg, prefix + ".counting")
             log(f"k={k}: SdBG with {dbg.size} rows saved to {prefix}")
             report_rusage(f"buildgraph k{k}")
         self._mark()
@@ -336,6 +337,22 @@ class Pipeline:
                 self.post_process(k)
         log(f"ALL DONE. Time elapsed: {self.timer.elapsed():.2f}s")
         return self.timer.laps
+
+
+def _write_counting_histogram(dbg, path: str) -> None:
+    """Edge-multiplicity histogram file (one 'multiplicity count' line per
+    bin; reference .counting, src/cx1_read2sdbg_s1.cpp:923-930)."""
+    import numpy as np
+
+    mult = dbg.mult[(dbg.w >= 1) & ~dbg.is_tip]
+    if len(mult):
+        binc = np.bincount(np.minimum(mult, 65535))
+        with open(path, "w") as f:
+            for m in range(1, len(binc)):
+                if binc[m]:
+                    f.write(f"{m} {int(binc[m])}\n")
+    else:
+        open(path, "w").close()
 
 
 def _fastx_records(path: str):

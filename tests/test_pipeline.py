@@ -94,3 +94,13 @@ def test_cli_tools(workdir, tmp_path):
     aa = tmp_path / "t.fa"
     assert cli_main(["translate", str(out), str(aa)]) == 0
     assert list(read_fastx(str(aa)))[0].seq == "tyvr"
+
+
+def test_cli_graphstat(workdir, capsys):
+    d, sc = workdir
+    prefix = os.path.join(str(d / "out"), "k29", "29")
+    kmer = sc["gene"][:30]
+    rc = cli_main(["graphstat", prefix, kmer])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "rows=" in out and "out edges:" in out
