@@ -167,3 +167,40 @@ def test_denovo_contigs_match_noisy(tmp_path):
     assert len(ours) == len(ref_set)
     sym_diff = set(ours) ^ set(ref_set)
     assert len(sym_diff) <= 4, f"too many contig differences: {len(sym_diff)}"
+
+
+def test_mercy_graph_matches(tmp_path):
+    """min_count=2 with mercy rescue vs the reference buildgraph --need_mercy
+    (graph shape from .sdbg_info)."""
+    rng = np.random.default_rng(41)
+    from megagta_tpu.constants import dna_to_str
+    from megagta_tpu.io.fastx import write_fasta
+
+    genome = dna_to_str(rng.integers(0, 4, 3000).astype(np.int8))
+    # mixed coverage: dense tiling plus a sparse region (mercy candidates)
+    reads = [genome[i : i + 80] for i in range(0, len(genome) - 80 + 1, 2)]
+    reads += [genome[i : i + 80] for i in range(500, 1500, 11)]
+    reads_fa = str(tmp_path / "m.fa")
+    write_fasta(reads_fa, [(f"r{i}", s) for i, s in enumerate(reads)])
+    lib = str(tmp_path / "reads.lib")
+    with open(lib, "w") as f:
+        f.write(f"{reads_fa}\nse {reads_fa}\n")
+    ref_oracle._run(["buildlib", lib, lib])
+    prefix = str(tmp_path / "21")
+    ref_oracle._run(
+        ["buildgraph", "-k", 21, "-m", 2, "--host_mem", 2_000_000_000,
+         "--mem_flag", 1, "--gpu_mem", 0, "--output_prefix", prefix,
+         "--num_cpu_threads", 2, "--num_output_threads", 1,
+         "--read_lib_file", lib, "--need_mercy"]
+    )
+    info = ref_oracle.parse_sdbg_info(prefix + ".sdbg_info")
+    assert info["total_size"] > 0
+
+    from megagta_tpu.graph.mercy import solid_windows_with_mercy
+
+    pkg = make_package(reads)
+    solid = solid_windows_with_mercy(pkg, 21, 2)
+    dbg = build_sdbg(pkg, 21, min_count=2, solid_mask=solid)
+    assert dbg.k == info["k"]
+    assert dbg.size == info["total_size"], (dbg.size, info["total_size"])
+    assert int(dbg.is_tip.sum()) == info["num_tips"]
