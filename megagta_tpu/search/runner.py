@@ -33,7 +33,7 @@ from .wavefront import (
     DeviceGraph,
     DeviceHMM,
     WavefrontConfig,
-    wavefront_search,
+    wavefront_search_merged,
 )
 
 __all__ = ["BatchSearcher"]
@@ -212,6 +212,12 @@ class BatchSearcher:
         self.graph = DeviceGraph.from_sdbg(self.dbg)
         self.dev_fwd = DeviceHMM.from_profile(self.fwd_hmm, self.fwd_h, self.dtype)
         self.dev_rev = DeviceHMM.from_profile(self.rev_hmm, self.rev_h, self.dtype)
+        if self.fwd_hmm.model_length != self.rev_hmm.model_length:
+            raise ValueError(
+                "forward/reverse HMM lengths differ; the reverse model must "
+                "be built from the column-reversed alignment"
+            )
+        self.hmm_stack = DeviceHMM.stack(self.dev_fwd, self.dev_rev)
         self.last_stats: dict = {}
         self.cache_f = _PathCache() if self.config.use_cache else None
         self.cache_r = _PathCache() if self.config.use_cache else None
@@ -253,49 +259,44 @@ class BatchSearcher:
             l_start = self.rev_hmm.model_length - ss - len(nucl) // divisor
             si_r[i], sf_r[i] = _make_start(self.rev_hmm, l_start, nucl, False, self.dbg)
 
-        cf_tab = self.cache_f.device_tables() if self.cache_f else (None, None, None)
-        cr_tab = self.cache_r.device_tables() if self.cache_r else (None, None, None)
-        res_f = wavefront_search(
+        # one merged run: rows [0:S] forward, [S:2S] reverse
+        if self.cache_f:
+            fa, fb, fv = self.cache_f.device_tables()
+            ra, rb, rv = self.cache_r.device_tables()
+            tab = (
+                jnp.stack([fa, ra]),
+                jnp.stack([fb, rb]),
+                jnp.stack([fv, rv]),
+            )
+        else:
+            tab = (None, None, None)
+        dirs = np.concatenate([np.zeros(S, np.int32), np.ones(S, np.int32)])
+        res = wavefront_search_merged(
             self.graph,
-            self.dev_fwd,
-            self._place(jnp.asarray(si_f)),
-            self._place(jnp.asarray(sf_f, self.dtype)),
+            self.hmm_stack,
+            self._place(jnp.asarray(dirs)),
+            self._place(jnp.asarray(np.concatenate([si_f, si_r]))),
+            self._place(jnp.asarray(np.concatenate([sf_f, sf_r]), self.dtype)),
             self.config,
-            True,
             self.fwd_hmm.model_length,
-            *cf_tab,
+            *tab,
         )
-        res_r = wavefront_search(
-            self.graph,
-            self.dev_rev,
-            self._place(jnp.asarray(si_r)),
-            self._place(jnp.asarray(sf_r, self.dtype)),
-            self.config,
-            False,
-            self.rev_hmm.model_length,
-            *cr_tab,
-        )
-        self.last_stats["expansions"] += int(res_f["expansions"]) + int(
-            res_r["expansions"]
-        )
-        self.last_stats["steps"] += int(res_f["steps"]) + int(res_r["steps"])
-        self.last_stats["overflow"] += int(np.asarray(res_f["overflow"]).sum()) + int(
-            np.asarray(res_r["overflow"]).sum()
-        )
+        self.last_stats["expansions"] += int(res["expansions"])
+        self.last_stats["steps"] += int(res["steps"])
+        self.last_stats["overflow"] += int(np.asarray(res["overflow"]).sum())
 
-        tf_i = np.asarray(res_f["trace_i"])
-        tf_f = np.asarray(res_f["trace_f"])
-        tr_i = np.asarray(res_r["trace_i"])
-        tr_f = np.asarray(res_r["trace_f"])
-        inter_f = np.asarray(res_f["inter_idx"])
-        inter_r = np.asarray(res_r["inter_idx"])
-
-        ce_f = np.asarray(res_f["cached_entry"])
-        ca_f = np.asarray(res_f["cached_at"])
-        ce_r = np.asarray(res_r["cached_entry"])
-        ca_r = np.asarray(res_r["cached_at"])
-        goal_f = np.asarray(res_f["goal_idx"])
-        goal_r = np.asarray(res_r["goal_idx"])
+        t_i = np.asarray(res["trace_i"])
+        t_f = np.asarray(res["trace_f"])
+        tf_i, tr_i = t_i[:S], t_i[S:]
+        tf_f, tr_f = t_f[:S], t_f[S:]
+        inter = np.asarray(res["inter_idx"])
+        inter_f, inter_r = inter[:S], inter[S:]
+        ce = np.asarray(res["cached_entry"])
+        ca = np.asarray(res["cached_at"])
+        ce_f, ce_r = ce[:S], ce[S:]
+        ca_f, ca_r = ca[:S], ca[S:]
+        goal = np.asarray(res["goal_idx"])
+        goal_f, goal_r = goal[:S], goal[S:]
 
         contigs = []
         for i, (nucl, _) in enumerate(seeds):

@@ -110,6 +110,17 @@ class DeviceHMM:
         return self.msc.shape[0] - 1
 
     @staticmethod
+    def stack(a: "DeviceHMM", b: "DeviceHMM") -> "DeviceHMM":
+        """Direction-stacked tables [2, ...] for the merged fwd+rev run."""
+        return DeviceHMM(
+            msc=jnp.stack([a.msc, b.msc]),
+            isc=jnp.stack([a.isc, b.isc]),
+            trans=jnp.stack([a.trans, b.trans]),
+            mme=jnp.stack([a.mme, b.mme]),
+            h=jnp.stack([a.h, b.h]),
+        )
+
+    @staticmethod
     def from_profile(hmm: ProfileHMM, heuristic: np.ndarray, dtype=jnp.float32):
         L = hmm.model_length
         A = hmm.alphabet_length
@@ -190,19 +201,19 @@ def _to_fval(x):
 
 @partial(
     jax.jit,
-    static_argnames=("config", "forward", "model_length"),
+    static_argnames=("config", "model_length"),
 )
-def wavefront_search(
+def wavefront_search_merged(
     graph: DeviceGraph,
-    hmm: DeviceHMM,
+    hmm: DeviceHMM,  # direction-stacked tables [2, ...] (DeviceHMM.stack)
+    dirs: jnp.ndarray,  # [S] int32: 0 = forward HMM, 1 = reverse HMM
     start_ints: jnp.ndarray,  # [S, 8] int32 initial nodes
     start_floats: jnp.ndarray,  # [S, 3] dtype
     config: WavefrontConfig,
-    forward: bool,
     model_length: int,
-    cache_a: jnp.ndarray | None = None,  # [H] int32 identity word a (-1 empty)
-    cache_b: jnp.ndarray | None = None,  # [H] int32 identity word b
-    cache_val: jnp.ndarray | None = None,  # [H] int32 host entry index
+    cache_a: jnp.ndarray | None = None,  # [2, H] identity word a (-1 empty)
+    cache_b: jnp.ndarray | None = None,  # [2, H] identity word b
+    cache_val: jnp.ndarray | None = None,  # [2, H] host entry index
 ):
     """Run S lockstep searches. Returns dict of results + trace arenas.
 
@@ -220,8 +231,9 @@ def wavefront_search(
     CAND = B * 129
     T = config.max_steps * B + 1
 
-    aa64 = jnp.asarray(build_aa64(forward))  # [64] aa codes
-    not_stop = aa64 != AA_STOP  # [64]
+    aa64_2 = jnp.stack(
+        [jnp.asarray(build_aa64(True)), jnp.asarray(build_aa64(False))]
+    )  # [2, 64] aa codes per direction
     low_cov_pen = jnp.asarray(-math.log(config.low_cov_penalty), dt)
 
     # candidate slot labels: slots 0..63 match, 64..127 insert, 128 delete
@@ -269,8 +281,11 @@ def wavefront_search(
         state = ints[:, NI_STATE]
         state_no = ints[:, NI_STATE_NO]
         next_state = jnp.minimum(state_no + 1, L)
+        ndir = jnp.repeat(dirs, N // S, total_repeat_length=N)  # [N]
+        aa64 = aa64_2[ndir]  # [N, 64]
+        not_stop = aa64 != AA_STOP
 
-        t = hmm.trans[jnp.minimum(state_no, L)]  # [N, 7]
+        t = hmm.trans[ndir, jnp.minimum(state_no, L)]  # [N, 7]
         match_tr = jnp.select(
             [state == 0, state == 1, state == 2],
             [t[:, MM], t[:, IM], t[:, DM]],
@@ -283,7 +298,7 @@ def wavefront_search(
             [state == 0, state == 1, state == 2],
             [t[:, MD], jnp.full_like(t[:, MD], NEG), t[:, DD]],
         )
-        mme = hmm.mme[next_state]  # [N]
+        mme = hmm.mme[ndir, next_state]  # [N]
 
         # 3-hop codon gather
         safe_node = jnp.clip(node, 0, graph.succ.shape[0] - 1)
@@ -300,8 +315,8 @@ def wavefront_search(
         m3 = graph.is_multi1[l3]
         low_cov = jnp.where(m1 & m2 & m3, low_cov_pen, 0.0)
 
-        msc = hmm.msc[next_state[:, None], aa64[None, :]]  # [N, 64]
-        isc = hmm.isc[next_state[:, None], aa64[None, :]]
+        msc = hmm.msc[ndir[:, None], next_state[:, None], aa64]  # [N, 64]
+        isc = hmm.isc[ndir[:, None], next_state[:, None], aa64]
 
         score = floats[:, NF_SCORE][:, None]
         real = floats[:, NF_REAL][:, None]
@@ -313,21 +328,22 @@ def wavefront_search(
         m_max = jnp.where(m_improved, m_real, mx)
         m_neg = jnp.where(m_improved, 0, ints[:, NI_NEG][:, None] + 1)
         m_score = score + match_tr[:, None] + msc - low_cov - mme[:, None]
-        m_fval = _to_fval(SCALE * (m_score + HWEIGHT * hmm.h[0, next_state][:, None]))
-        m_valid = v3 & not_stop[None, :]
+        m_fval = _to_fval(SCALE * (m_score + HWEIGHT * hmm.h[ndir, 0, next_state][:, None]))
+        m_valid = v3 & not_stop
 
         # ---- insert candidates (slots 64..127); forbidden from 'd'
         i_real = real + ins_tr[:, None] + isc - low_cov
         i_score = score + ins_tr[:, None] + isc - low_cov
         i_fval = _to_fval(
-            SCALE * (i_score + HWEIGHT * hmm.h[1, jnp.minimum(state_no, L)][:, None])
+            SCALE
+            * (i_score + HWEIGHT * hmm.h[ndir, 1, jnp.minimum(state_no, L)][:, None])
         )
         i_valid = m_valid & (state != 2)[:, None]
 
         # ---- delete candidate (slot 128); forbidden from 'i'
         d_real = real[:, 0] + del_tr
         d_score = score[:, 0] + del_tr - mme
-        d_fval = _to_fval(SCALE * (d_score + HWEIGHT * hmm.h[2, next_state]))
+        d_fval = _to_fval(SCALE * (d_score + HWEIGHT * hmm.h[ndir, 2, next_state]))
         d_valid = (state != 1) & (node >= 0)
 
         cand_node = jnp.concatenate([l3, l3, safe_node[:, None]], axis=1)
@@ -411,7 +427,7 @@ def wavefront_search(
         state, state_no); the search short-circuits and the host composes
         prefix + cached suffix.
         """
-        H = cache_a.shape[0]
+        H = cache_a.shape[1]
         ua = ids_a.astype(jnp.uint32)
         ub = ids_b.astype(jnp.uint32)
         h = (ua * jnp.uint32(2654435761) ^ (ub * jnp.uint32(40503))).astype(
@@ -420,8 +436,8 @@ def wavefront_search(
         val = jnp.full(ids_a.shape, -1, jnp.int32)
         for probe in range(4):
             idx = ((h + jnp.uint32(probe)) % jnp.uint32(H)).astype(jnp.int32)
-            hit = (cache_a[idx] == ids_a) & (cache_b[idx] == ids_b)
-            val = jnp.where((val < 0) & hit, cache_val[idx], val)
+            hit = (cache_a[dirs, idx] == ids_a) & (cache_b[dirs, idx] == ids_b)
+            val = jnp.where((val < 0) & hit, cache_val[dirs, idx], val)
         return val
 
     def compact(state):
@@ -615,9 +631,9 @@ def wavefront_search(
     )
 
     if cache_a is None:
-        cache_a = jnp.full((8,), -1, jnp.int32)
-        cache_b = jnp.full((8,), -1, jnp.int32)
-        cache_val = jnp.full((8,), -1, jnp.int32)
+        cache_a = jnp.full((2, 8), -1, jnp.int32)
+        cache_b = jnp.full((2, 8), -1, jnp.int32)
+        cache_val = jnp.full((2, 8), -1, jnp.int32)
 
     carry = (
         pool_i, pool_f, alive, next_free, trace_i, trace_f, trace_len,
