@@ -39,6 +39,15 @@ def build_parser() -> argparse.ArgumentParser:
     bl.add_argument("manifest")
     bl.add_argument("out_prefix")
 
+    br = sub.add_parser(
+        "buildref",
+        help="build gene resources (fwd/rev HMM + ref alignment) from an "
+        "aligned FASTA — the built-in counterpart of prepare_gene_ref.sh",
+    )
+    br.add_argument("name")
+    br.add_argument("aligned_faa")
+    br.add_argument("out_dir")
+
     gs = sub.add_parser(
         "graphstat",
         help="inspect a built SdBG (stats; optionally a k-mer's neighborhood"
@@ -117,6 +126,15 @@ def main(argv=None) -> int:
             print("out edges:", [(int(r), dna_to_str(g.edge_label(r))) for r in outs])
             ins = g.incoming_rows(row)
             print("in rows:", [(int(r), dna_to_str(g.edge_label(r))) for r in ins])
+        return 0
+    if cmd == "buildref":
+        from ..io.fastx import read_fastx
+        from ..models.build import build_gene_resource
+
+        records = [(r.name, r.seq) for r in read_fastx(args.aligned_faa)]
+        paths = build_gene_resource(args.name, records, args.out_dir)
+        line = f"{args.name} {paths['forward_hmm']} {paths['reverse_hmm']} {paths['ref_aligned']}"
+        print(line)
         return 0
     if cmd == "buildlib":
         from ..io.read_lib import build_read_lib

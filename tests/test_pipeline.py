@@ -104,3 +104,61 @@ def test_cli_graphstat(workdir, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "rows=" in out and "out edges:" in out
+
+
+def test_pipeline_multi_gene_pe_gz(tmp_path):
+    """Two genes, paired-end gzip reads, buildref CLI."""
+    import gzip
+
+    from tests.synthetic import make_scenario
+
+    sc1 = make_scenario(seed=51, gene_aa_len=60, read_len=70, read_step=4)
+    sc2 = make_scenario(seed=52, gene_aa_len=60, read_len=70, read_step=4)
+    reads = sc1["reads"] + sc2["reads"]
+    # fake PE: mates = two halves of the read stream, gzip'ed
+    half = len(reads) // 2
+    for name, subset in (("r1", reads[:half]), ("r2", reads[half : 2 * half])):
+        with gzip.open(tmp_path / f"{name}.fa.gz", "wt") as f:
+            for i, s in enumerate(subset):
+                f.write(f">{name}_{i}\n{s}\n")
+
+    # gene resources via the CLI
+    for name, sc in (("g1", sc1), ("g2", sc2)):
+        write_fasta(
+            str(tmp_path / f"{name}.aln.faa"),
+            [(n, s) for n, s in sc["aligned"]],
+        )
+        rc = cli_main(
+            ["buildref", name, str(tmp_path / f"{name}.aln.faa"), str(tmp_path / name)]
+        )
+        assert rc == 0
+    with open(tmp_path / "genes.txt", "w") as f:
+        for name in ("g1", "g2"):
+            d = tmp_path / name
+            f.write(
+                f"{name} {d}/{name}_for_enone.hmm {d}/{name}_rev_enone.hmm "
+                f"{d}/{name}_ref_aligned.faa\n"
+            )
+
+    out = str(tmp_path / "out")
+    rc = cli_main(
+        [
+            "-1", str(tmp_path / "r1.fa.gz"),
+            "-2", str(tmp_path / "r2.fa.gz"),
+            "-g", str(tmp_path / "genes.txt"),
+            "-o", out,
+            "--k-list", "30",
+            "--min-contig-len", "100",
+        ]
+    )
+    assert rc == 0
+    for name, sc in (("g1", sc1), ("g2", sc2)):
+        nucl = os.path.join(out, "contigs", name, "nucl_merged.fasta")
+        recs = list(read_fastx(nucl))
+        assert recs, f"no contigs for {name}"
+        best = max((r.seq for r in recs), key=len)
+        from megagta_tpu.constants import dna_to_str, str_to_dna
+        from megagta_tpu.ops.dna import revcomp
+
+        gene_rc = dna_to_str(revcomp(str_to_dna(sc["gene"])))
+        assert best.upper() in sc["gene"] or best.upper() in gene_rc
