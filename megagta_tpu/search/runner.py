@@ -241,12 +241,24 @@ class BatchSearcher:
             return []
         self.last_stats = {"expansions": 0, "steps": 0, "overflow": 0}
         out: list[str] = []
-        for i in range(0, len(seeds), self.chunk):
+        start = 0
+        if (
+            self.cache_f is not None
+            and not self.cache_f.entries
+            and len(seeds) > self.chunk
+        ):
+            # warm the path cache with a small first chunk so the bulk of the
+            # seeds short-circuit (the reference's term-node memo warms the
+            # same way as its first seeds complete)
+            warm = max(1, self.chunk // 8)
+            out.extend(self._search_chunk(seeds[:warm], chunk=warm))
+            start = warm
+        for i in range(start, len(seeds), self.chunk):
             out.extend(self._search_chunk(seeds[i : i + self.chunk]))
         return out
 
-    def _search_chunk(self, seeds: list[tuple[str, int]]) -> list[str]:
-        S = self.chunk
+    def _search_chunk(self, seeds: list[tuple[str, int]], chunk: int | None = None) -> list[str]:
+        S = chunk or self.chunk
         divisor = 3 if self.fwd_hmm.alphabet == PROTEIN else 1
         si_f = np.zeros((S, 8), np.int32)
         sf_f = np.zeros((S, 3), np.float64)
