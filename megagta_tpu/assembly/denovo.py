@@ -6,8 +6,6 @@ tips -> pop bubbles -> extract unitig contigs with stats.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import numpy as np
 
 from ..graph.sdbg import SdBG

@@ -24,12 +24,9 @@ TPU-idiomatic replacement for pointer-chasing rank/select.
 from __future__ import annotations
 
 import json
-import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
-
-from ..constants import dna_to_str
 
 __all__ = ["SdBG"]
 

@@ -3,10 +3,6 @@ translate; src/read_stat.cpp, src/filter_by_len.cpp, src/translate.cpp)."""
 
 from __future__ import annotations
 
-import sys
-
-import numpy as np
-
 from ..assembly.denovo import contig_stats
 from ..constants import AA_CHARS, str_to_dna
 from ..io.fastx import read_fastx, write_fasta

@@ -24,17 +24,11 @@ from __future__ import annotations
 
 import heapq
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
-from ..constants import (
-    CODON_TABLE,
-    RC_CODON_TABLE,
-    AA_STOP,
-    dna_to_str,
-    str_to_dna,
-)
+from ..constants import AA_STOP, CODON_TABLE, RC_CODON_TABLE, str_to_dna
 from ..graph.sdbg import SdBG
 from ..hmm.profile import DD, DM, IM, II, MD, MI, MM, NEG_INF, PROTEIN, ProfileHMM
 from ..seeds.translate import translate_codes

@@ -8,7 +8,6 @@ rules of hmm_graph_search.h:83-109,345-356).
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 import jax
@@ -21,10 +20,7 @@ from ..hmm.profile import PROTEIN, ProfileHMM
 from ..seeds.translate import translate_codes
 from .astar import HMMGraphSearch
 from .wavefront import (
-    NF_MAX,
     NF_REAL,
-    NF_SCORE,
-    NI_LEN,
     NI_NE,
     NI_NODE,
     NI_PARENT,
