@@ -277,46 +277,118 @@ class SdBG:
         Reference IndexBinarySearchEdge (src/succinct_dbg.cpp:530-549); here a
         direct binary search over colex order via label reconstruction.
         """
-        node_row = self.lookup_node(seq[: self.k])
-        if node_row < 0:
-            return -1
-        g0, g1 = int(self.group_start[node_row]), int(self.group_end[node_row])
-        want = int(seq[self.k]) + 1
-        for r in range(g1, g0 - 1, -1):
-            wv = int(self.w[r])
-            if wv == want or wv - 4 == want:
-                return r
-        return -1
+        return int(self.lookup_edges(np.asarray(seq, np.int8)[None, :])[0])
 
     def lookup_node(self, node: np.ndarray) -> int:
         """Last-row id of node k-mer `node` (codes 0..3), or -1."""
-        c = int(node[-1]) + 1
-        lo = int(self.f[c])
-        hi = int(self.f[c + 1]) if c + 1 < 6 else self.size
-        # binary search on colex order among last rows in [lo, hi)
-        lp = np.flatnonzero(self.last)
+        return int(self.lookup_nodes(np.asarray(node, np.int8)[None, :])[0])
+
+    # -------------------------------------------------- batched label lookup
+    # (the seed -> edge-id resolution of IndexBinarySearchEdge,
+    # src/succinct_dbg.cpp:530-549, vectorized over whole seed batches: the
+    # binary searches advance in lockstep, each step reconstructing the mid
+    # labels for ALL queries with k gather sweeps)
+
+    @property
+    def _last_pos(self) -> np.ndarray:
+        lp = getattr(self, "_lp_cache", None)
+        if lp is None:
+            lp = np.flatnonzero(self.last)
+            self._lp_cache = lp
+        return lp
+
+    @property
+    def _tip_rank(self) -> np.ndarray:
+        tr = getattr(self, "_tip_rank_cache", None)
+        if tr is None:
+            tr = np.cumsum(self.is_tip) - 1
+            self._tip_rank_cache = tr
+        return tr
+
+    def labels_batch(self, rows: np.ndarray) -> np.ndarray:
+        """Vectorized label(): k-mer labels of many rows' nodes, [N, k]."""
+        rows = np.asarray(rows, np.int64)
+        N = len(rows)
+        seq = np.zeros((N, self.k), np.int8)
+        x = rows.copy()
+        done = np.zeros(N, bool)
+        kl = self.tip_labels.shape[1] if self.tip_labels.ndim == 2 else self.k - 1
+        for i in range(self.k - 1, -1, -1):
+            tip = ~done & self.is_tip[x]
+            if tip.any():
+                idxs = np.flatnonzero(tip)
+                lab = self.tip_labels[self._tip_rank[x[idxs]]]
+                m = i + 1  # chars to fill: the label's length-m suffix
+                if m <= kl:
+                    seq[idxs[:, None], np.arange(m)[None, :]] = lab[:, kl - m :]
+                else:  # zero-pad in front (label shorter than the slot)
+                    seq[idxs[:, None], (np.arange(kl) + (m - kl))[None, :]] = lab
+                done[idxs] = True
+            act = np.flatnonzero(~done)
+            if not len(act):
+                break
+            x[act] = self.backward[x[act]]
+            seq[act, i] = (self.out_label(x[act]) - 1).astype(np.int8)
+        return seq
+
+    def lookup_nodes(self, nodes: np.ndarray) -> np.ndarray:
+        """Batched lookup_node: [Q, k] codes -> [Q] last-row ids (-1 miss)."""
+        nodes = np.asarray(nodes, np.int8)
+        Q = nodes.shape[0]
+        res = np.full(Q, -1, np.int64)
+        if Q == 0 or self.size == 0:
+            return res
+        lp = self._last_pos
+        c = nodes[:, -1].astype(np.int64) + 1
+        lo = self.f[c]
+        hi = np.where(c + 1 < 6, self.f[np.minimum(c + 1, 5)], self.size)
         li = np.searchsorted(lp, lo)
         ri = np.searchsorted(lp, hi)
-        target = node[::-1]  # colex compare = lex of reversed label
-        while li < ri:
+        target = nodes[:, ::-1]  # colex compare = lex of reversed label
+        qi = np.arange(Q)
+        active = li < ri
+        while active.any():
             mid = (li + ri) // 2
-            row = int(lp[mid])
-            lab = self.label(row)[::-1]
-            cmp = 0
-            for a, b in zip(lab, target):
-                if a != b:
-                    cmp = -1 if a < b else 1
-                    break
-            if cmp == 0:
-                if self.is_tip[row]:
-                    cmp = -1  # tips sort before real nodes w/ same suffix
-                else:
-                    return row
-            if cmp < 0:
-                li = mid + 1
-            else:
-                ri = mid
-        return -1
+            rows = lp[np.where(active, mid, 0)]
+            labs = self.labels_batch(rows)[:, ::-1]
+            diff = labs != target
+            first = np.argmax(diff, axis=1)
+            anyd = diff.any(axis=1)
+            la = labs[qi, first]
+            ta = target[qi, first]
+            cmp = np.where(anyd, np.where(la < ta, -1, 1), 0)
+            eq = cmp == 0
+            tip = self.is_tip[rows]
+            found = active & eq & ~tip
+            res[found] = rows[found]
+            cmp = np.where(eq & tip, -1, cmp)  # tips sort before real nodes
+            li = np.where(active & (cmp < 0), mid + 1, li)
+            ri = np.where(active & (cmp > 0), mid, ri)
+            active = active & ~found & (li < ri)
+        return res
+
+    def lookup_edges(self, seqs: np.ndarray) -> np.ndarray:
+        """Batched lookup_edge: [Q, k+1] codes -> [Q] edge rows (-1 miss)."""
+        seqs = np.asarray(seqs, np.int8)
+        Q = seqs.shape[0]
+        node_rows = self.lookup_nodes(seqs[:, : self.k])
+        res = np.full(Q, -1, np.int64)
+        hit = node_rows >= 0
+        if not hit.any():
+            return res
+        safe = np.where(hit, node_rows, 0)
+        g0 = self.group_start[safe]
+        g1 = self.group_end[safe]
+        want = seqs[:, self.k].astype(np.int64) + 1
+        # groups are <= 5 rows wide; scan from the group end downward
+        # (reference order), first matching W in {want, want+4} wins
+        for off in range(5):
+            r = g1 - off
+            ok = hit & (r >= g0) & (res < 0)
+            wv = self.w[np.where(ok, r, 0)].astype(np.int64)
+            m = ok & ((wv == want) | (wv - 4 == want))
+            res[m] = r[m]
+        return res
 
     def set_invalid(self, rows) -> None:
         self.invalid[rows] = True

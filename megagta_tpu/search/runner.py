@@ -2,13 +2,22 @@
 
 Host-side orchestration around search/wavefront.py: builds start nodes for a
 batch of seeds (both directions), runs the two jitted lockstep searches, and
-reconstructs contigs from the trace arenas (the goal-selection and traceback
-rules of hmm_graph_search.h:83-109,345-356).
+reconstructs contigs from compact device-extracted parent chains (the
+goal-selection and traceback rules of hmm_graph_search.h:83-109,345-356).
+
+Data-movement design (the TPU here sits behind a network tunnel, so
+host<->device bytes are the scarcest resource):
+  * traceback runs ON DEVICE (wavefront.extract_chains); only [rows, maxc]
+    compact chains come back, never the [rows, T, 8] trace arenas;
+  * the cross-seed path-cache tables live on device permanently and are
+    updated by scattering just the new entries (donated buffers), never
+    re-uploaded.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -20,22 +29,24 @@ from ..hmm.profile import PROTEIN, ProfileHMM
 from ..seeds.translate import translate_codes
 from .astar import HMMGraphSearch
 from .wavefront import (
-    NF_REAL,
-    NI_NE,
-    NI_NODE,
-    NI_PARENT,
-    NI_STATE,
-    NI_STATE_NO,
     DeviceGraph,
     DeviceHMM,
     WavefrontConfig,
+    extract_chains,
     wavefront_search_merged,
 )
 
 __all__ = ["BatchSearcher"]
 
 
-def _make_start(hmm: ProfileHMM, start_state: int, framed_word: str, forward: bool, dbg: SdBG):
+def _make_start(
+    hmm: ProfileHMM,
+    start_state: int,
+    framed_word: str,
+    forward: bool,
+    dbg: SdBG,
+    node_id: int | None = None,
+):
     codes = str_to_dna(framed_word)
     if hmm.alphabet == PROTEIN:
         aa = translate_codes(codes)
@@ -46,8 +57,9 @@ def _make_start(hmm: ProfileHMM, start_state: int, framed_word: str, forward: bo
         aa = codes
         n_res = len(framed_word)
     score, real = HMMGraphSearch.score_start(hmm, aa, start_state)
-    lookup = codes if forward else (3 - codes)[::-1]
-    node_id = int(dbg.lookup_edge(lookup))
+    if node_id is None:
+        lookup = codes if forward else (3 - codes)[::-1]
+        node_id = int(dbg.lookup_edge(lookup))
     ints = np.array(
         [node_id, start_state + n_res, 0, 0, 0, n_res, -1, 0], np.int32
     )
@@ -55,72 +67,72 @@ def _make_start(hmm: ProfileHMM, start_state: int, framed_word: str, forward: bo
     return ints, floats
 
 
-def _chain(trace_i, trace_f, idx):
-    """Trace indices from `idx` back to the root (inclusive)."""
-    out = []
-    while idx >= 0:
-        out.append(idx)
-        idx = int(trace_i[idx, NI_PARENT])
-        if idx == out[-1]:
-            break
-    return out
+def _batch_lookup(dbg: SdBG, seeds: list[tuple[str, int]]) -> tuple[np.ndarray, np.ndarray]:
+    """Edge rows for all seeds' forward + reverse-complement words in as few
+    vectorized lookup_edges calls as word lengths require."""
+    fwd = np.full(len(seeds), -1, np.int64)
+    rev = np.full(len(seeds), -1, np.int64)
+    by_len: dict[int, list[int]] = {}
+    codes_all = []
+    for i, (nucl, _) in enumerate(seeds):
+        codes = str_to_dna(nucl)
+        codes_all.append(codes)
+        by_len.setdefault(len(codes), []).append(i)
+    for n, idxs in by_len.items():
+        fw = np.stack([codes_all[i] for i in idxs])
+        fwd[idxs] = dbg.lookup_edges(fw)
+        rev[idxs] = dbg.lookup_edges((3 - fw)[:, ::-1])
+    return fwd, rev
 
 
-def _emission(trace_i, idx) -> str:
-    if int(trace_i[idx, NI_STATE]) == 2:  # delete nodes emit nothing
+# ---- compact chain helpers (child -> root order; packed = ne | state<<9 |
+# state_no<<11, -1 past the end) ------------------------------------------
+
+
+def _n_valid(packed: np.ndarray) -> int:
+    valid = packed >= 0
+    return int(valid.sum())
+
+
+def _emission_packed(packed: int) -> str:
+    state = (packed >> 9) & 3
+    if state == 2:  # delete nodes emit nothing
         return ""
-    ne = int(trace_i[idx, NI_NE])
+    ne = packed & 0x1FF
     return "".join("acgt-"[(ne >> (3 * i)) & 7] for i in (2, 1, 0))
 
 
-def _best_chain(trace_i, trace_f, inter_idx):
-    """getHighestScoreNode: root..best chain (deepest max real_score)."""
-    if inter_idx < 0:
-        return []
-    chain = _chain(trace_i, trace_f, int(inter_idx))  # child ... root
-    best = chain[0]
-    for idx in chain[1:]:
-        if trace_f[idx, NF_REAL] > trace_f[best, NF_REAL]:
-            best = idx
-    upto = _chain(trace_i, trace_f, best)
-    upto.reverse()  # root ... best
-    return upto
+def _first_max(reals: np.ndarray, n: int) -> int:
+    """Index of the max real_score, first occurrence scanning tip->root
+    (getHighestScoreNode's strict-greater replacement rule == argmax's
+    first-occurrence tie-break)."""
+    return int(np.argmax(reals[:n])) if n else 0
 
 
-def _contig_part(trace_i, trace_f, inter_idx) -> str:
+def _contig_from_chain(packed: np.ndarray, reals: np.ndarray) -> str:
     """getHighestScoreNode + partialResultFromGoal combined."""
-    chain = _best_chain(trace_i, trace_f, inter_idx)
-    return "".join(
-        _emission(trace_i, idx) for idx in chain if int(trace_i[idx, NI_PARENT]) >= 0
-    )
+    n = _n_valid(packed)
+    if n == 0:
+        return ""
+    best = _first_max(reals, n)
+    # root..best, root itself emits nothing (trace parent < 0)
+    return "".join(_emission_packed(int(packed[i])) for i in range(n - 2, best - 1, -1))
 
 
 class _PathCache:
     """Host side of the cross-seed path cache (term-node equivalent).
 
     Holds identity -> (suffix string after the node on a goal path, max
-    real_score downstream) plus the open-address device arrays probed by the
-    wavefront kernel."""
+    real_score downstream). The open-address tables probed by the wavefront
+    kernel live on device (owned by BatchSearcher); `pending` accumulates
+    (slot, a, b, val) scatter updates for them."""
 
     def __init__(self, size_log2: int = 21):
         self.H = 1 << size_log2
         self.keys_a = np.full(self.H, -1, np.int32)
-        self.keys_b = np.full(self.H, -1, np.int32)
-        self.vals = np.full(self.H, -1, np.int32)
         self.entries: list[tuple[str, float]] = []
         self.seen: set = set()
-        self._device = None
-
-    def device_tables(self):
-        import jax.numpy as jnp
-
-        if self._device is None:
-            self._device = (
-                jnp.asarray(self.keys_a),
-                jnp.asarray(self.keys_b),
-                jnp.asarray(self.vals),
-            )
-        return self._device
+        self.pending: list[tuple[int, int, int, int]] = []
 
     def _insert(self, a: int, b: int, entry_idx: int):
         h = ((a * 2654435761) ^ (b * 40503)) & 0xFFFFFFFF
@@ -128,59 +140,67 @@ class _PathCache:
             idx = (h + probe) % self.H
             if self.keys_a[idx] == -1:
                 self.keys_a[idx] = a
-                self.keys_b[idx] = b
-                self.vals[idx] = entry_idx
+                self.pending.append((idx, a, b, entry_idx))
                 return
         # table neighborhood full: drop (lossy cache)
 
-    def harvest(self, trace_i, trace_f, inter_idx):
+    def harvest(self, nodes: np.ndarray, packed: np.ndarray, reals: np.ndarray):
         """Insert every node of a completed goal path (first insert wins,
-        like the reference HashMapST, src/fast... hmm_graph_search.h:102)."""
-        chain = _best_chain(trace_i, trace_f, inter_idx)
-        if len(chain) < 2:
+        like the reference HashMapST, hmm_graph_search.h:83-109)."""
+        n = _n_valid(packed)
+        if n == 0:
             return
-        emissions = [_emission(trace_i, idx) for idx in chain]
-        end_real = float(trace_f[chain[-1], NF_REAL])
-        # suffix after node j = emissions j+1..end
+        best = _first_max(reals, n)
+        # best-chain in root -> best order = chain indices n-1 .. best
+        ci = list(range(n - 1, best - 1, -1))
+        if len(ci) < 2:
+            return
+        emissions = [_emission_packed(int(packed[i])) for i in ci]
+        end_real = float(reals[ci[-1]])
         suffixes = [""]
         for e in reversed(emissions[1:]):
             suffixes.append(e + suffixes[-1])
-        suffixes.reverse()  # suffixes[j] = emissions after chain[j]
-        dirty = False
-        for j, idx in enumerate(chain):
-            a = int(trace_i[idx, NI_NODE])
-            b = (int(trace_i[idx, NI_STATE_NO]) << 2) | int(trace_i[idx, NI_STATE])
+        suffixes.reverse()  # suffixes[j] = emissions after ci[j]
+        for j, i in enumerate(ci):
+            a = int(nodes[i])
+            p = int(packed[i])
+            b = (p >> 11 << 2) | ((p >> 9) & 3)
             if a < 0 or (a, b) in self.seen:
                 continue
             self.seen.add((a, b))
             # real_score increments from this node onward are path-local, so
             # the downstream maximum is stored as a DELTA from this node's
             # score and translated into the hitting seed's accumulation
-            delta_max = end_real - float(trace_f[idx, NF_REAL])
+            delta_max = end_real - float(reals[i])
             self.entries.append((suffixes[j], delta_max))
             self._insert(a, b, len(self.entries) - 1)
-            dirty = True
-        if dirty:
-            self._device = None
 
-    def compose(self, trace_i, trace_f, cached_at: int, entry_idx: int) -> str:
+    def compose(self, packed: np.ndarray, reals: np.ndarray, entry_idx: int) -> str:
         """Prefix emissions + cached suffix, with the reference's
-        highest-real-score truncation over the composite chain."""
+        highest-real-score truncation over the composite chain. Chain
+        entry 0 is the cache-hit node."""
         suffix, delta_max = self.entries[entry_idx]
-        chain = _chain(trace_i, trace_f, cached_at)  # hit ... root
-        prefix_best = chain[0]
-        for idx in chain[1:]:
-            if trace_f[idx, NF_REAL] > trace_f[prefix_best, NF_REAL]:
-                prefix_best = idx
-        suffix_max = float(trace_f[chain[0], NF_REAL]) + delta_max
-        if suffix_max >= float(trace_f[prefix_best, NF_REAL]):
+        n = _n_valid(packed)
+        prefix_best = _first_max(reals, n)
+        suffix_max = float(reals[0]) + delta_max
+        if suffix_max >= float(reals[prefix_best]):
             full = "".join(
-                _emission(trace_i, idx)
-                for idx in reversed(chain)
-                if int(trace_i[idx, NI_PARENT]) >= 0
+                _emission_packed(int(packed[i])) for i in range(n - 2, -1, -1)
             )
             return full + suffix
-        return _contig_part(trace_i, trace_f, cached_at)
+        return _contig_from_chain(packed, reals)
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2), static_argnums=(3,))
+def _cache_scatter(tab_a, tab_b, tab_v, d, slots, na, nb, nv):
+    """Scatter new cache entries into the persistent device tables.
+
+    Out-of-range slots (the padding) are dropped."""
+    return (
+        tab_a.at[d, slots].set(na, mode="drop"),
+        tab_b.at[d, slots].set(nb, mode="drop"),
+        tab_v.at[d, slots].set(nv, mode="drop"),
+    )
 
 
 _COMP = {"a": "t", "c": "g", "g": "c", "t": "a", "-": "-"}
@@ -197,6 +217,7 @@ class BatchSearcher:
     dtype: object = jnp.float32
     chunk: int = 128  # seeds per device batch (fixed shape: one compile,
     # bounded pool memory; the last chunk is padded with absent seeds)
+    maxc: int = 512  # chain-extraction cap; grows 4x on truncation
 
     mesh: object = None  # jax.sharding.Mesh to shard the seed axis over
 
@@ -217,6 +238,7 @@ class BatchSearcher:
         self.last_stats: dict = {}
         self.cache_f = _PathCache() if self.config.use_cache else None
         self.cache_r = _PathCache() if self.config.use_cache else None
+        self._dev_cache = None
         if self.mesh is not None:
             n = self.mesh.devices.size
             if self.chunk % n:
@@ -231,6 +253,34 @@ class BatchSearcher:
         axis = self.mesh.axis_names[0]
         return jax.device_put(arr, NamedSharding(self.mesh, P(axis)))
 
+    def _cache_tables(self):
+        """Persistent device tables, updated by scattering pending entries."""
+        if self._dev_cache is None:
+            H = self.cache_f.H
+            self._dev_cache = (
+                jnp.full((2, H), -1, jnp.int32),
+                jnp.full((2, H), -1, jnp.int32),
+                jnp.full((2, H), -1, jnp.int32),
+            )
+        H = self.cache_f.H
+        for d, cache in ((0, self.cache_f), (1, self.cache_r)):
+            if not cache.pending:
+                continue
+            n = len(cache.pending)
+            pad = 1 << max(6, (n - 1).bit_length())
+            upd = np.full((pad, 4), H, np.int64)  # slot H = dropped
+            upd[:n] = cache.pending
+            cache.pending = []
+            self._dev_cache = _cache_scatter(
+                *self._dev_cache,
+                d,
+                jnp.asarray(upd[:, 0], jnp.int32),
+                jnp.asarray(upd[:, 1], jnp.int32),
+                jnp.asarray(upd[:, 2], jnp.int32),
+                jnp.asarray(upd[:, 3], jnp.int32),
+            )
+        return self._dev_cache
+
     def search(self, seeds: list[tuple[str, int]]) -> list[str]:
         """seeds: [(nucl lowercase, start_state 0-based)] -> contigs."""
         if not seeds:
@@ -243,18 +293,19 @@ class BatchSearcher:
             and not self.cache_f.entries
             and len(seeds) > self.chunk
         ):
-            # warm the path cache with a small first chunk so the bulk of the
-            # seeds short-circuit (the reference's term-node memo warms the
-            # same way as its first seeds complete)
+            # warm the path cache with a small first batch so the bulk of
+            # the seeds short-circuit (the reference's term-node memo warms
+            # the same way as its first seeds complete); padded to the
+            # standard chunk shape so no extra compilation happens
             warm = max(1, self.chunk // 8)
-            out.extend(self._search_chunk(seeds[:warm], chunk=warm))
+            out.extend(self._search_chunk(seeds[:warm]))
             start = warm
         for i in range(start, len(seeds), self.chunk):
             out.extend(self._search_chunk(seeds[i : i + self.chunk]))
         return out
 
-    def _search_chunk(self, seeds: list[tuple[str, int]], chunk: int | None = None) -> list[str]:
-        S = chunk or self.chunk
+    def _search_chunk(self, seeds: list[tuple[str, int]]) -> list[str]:
+        S = self.chunk
         divisor = 3 if self.fwd_hmm.alphabet == PROTEIN else 1
         si_f = np.zeros((S, 8), np.int32)
         sf_f = np.zeros((S, 3), np.float64)
@@ -262,22 +313,20 @@ class BatchSearcher:
         sf_r = np.zeros((S, 3), np.float64)
         si_f[:, 0] = -1  # padding seeds: absent node, no expansion
         si_r[:, 0] = -1
+        si_f[:, 6] = -1  # padding parent: root (traceback terminator)
+        si_r[:, 6] = -1
+        node_f, node_r = _batch_lookup(self.dbg, seeds)
         for i, (nucl, ss) in enumerate(seeds):
-            si_f[i], sf_f[i] = _make_start(self.fwd_hmm, ss, nucl, True, self.dbg)
+            si_f[i], sf_f[i] = _make_start(
+                self.fwd_hmm, ss, nucl, True, self.dbg, int(node_f[i])
+            )
             l_start = self.rev_hmm.model_length - ss - len(nucl) // divisor
-            si_r[i], sf_r[i] = _make_start(self.rev_hmm, l_start, nucl, False, self.dbg)
+            si_r[i], sf_r[i] = _make_start(
+                self.rev_hmm, l_start, nucl, False, self.dbg, int(node_r[i])
+            )
 
         # one merged run: rows [0:S] forward, [S:2S] reverse
-        if self.cache_f:
-            fa, fb, fv = self.cache_f.device_tables()
-            ra, rb, rv = self.cache_r.device_tables()
-            tab = (
-                jnp.stack([fa, ra]),
-                jnp.stack([fb, rb]),
-                jnp.stack([fv, rv]),
-            )
-        else:
-            tab = (None, None, None)
+        tab = self._cache_tables() if self.cache_f else (None, None, None)
         dirs = np.concatenate([np.zeros(S, np.int32), np.ones(S, np.int32)])
         res = wavefront_search_merged(
             self.graph,
@@ -293,33 +342,42 @@ class BatchSearcher:
         self.last_stats["steps"] += int(res["steps"])
         self.last_stats["overflow"] += int(np.asarray(res["overflow"]).sum())
 
-        t_i = np.asarray(res["trace_i"])
-        t_f = np.asarray(res["trace_f"])
-        tf_i, tr_i = t_i[:S], t_i[S:]
-        tf_f, tr_f = t_f[:S], t_f[S:]
-        inter = np.asarray(res["inter_idx"])
-        inter_f, inter_r = inter[:S], inter[S:]
+        # device-side traceback: cache-hit rows trace from the hit node,
+        # everything else from the inter goal
+        start_idx = jnp.where(
+            res["cached_at"] >= 0, res["cached_at"], res["inter_idx"]
+        )
+        while True:
+            nodes, packed, reals = extract_chains(
+                res["trace_i"], res["trace_f"], start_idx, self.maxc
+            )
+            nodes = np.asarray(nodes)
+            packed = np.asarray(packed)
+            reals = np.asarray(reals, np.float64)
+            if not (packed[:, -1] >= 0).any():
+                break
+            self.maxc *= 4  # truncated chain: retry deeper (rare)
+
         ce = np.asarray(res["cached_entry"])
-        ca = np.asarray(res["cached_at"])
-        ce_f, ce_r = ce[:S], ce[S:]
-        ca_f, ca_r = ca[:S], ca[S:]
         goal = np.asarray(res["goal_idx"])
+        ce_f, ce_r = ce[:S], ce[S:]
         goal_f, goal_r = goal[:S], goal[S:]
 
         contigs = []
         for i, (nucl, _) in enumerate(seeds):
             if self.cache_f and ce_f[i] >= 0:
-                right = self.cache_f.compose(tf_i[i], tf_f[i], int(ca_f[i]), int(ce_f[i]))
+                right = self.cache_f.compose(packed[i], reals[i], int(ce_f[i]))
             else:
-                right = _contig_part(tf_i[i], tf_f[i], inter_f[i])
+                right = _contig_from_chain(packed[i], reals[i])
                 if self.cache_f is not None and goal_f[i] >= 0:
-                    self.cache_f.harvest(tf_i[i], tf_f[i], inter_f[i])
+                    self.cache_f.harvest(nodes[i], packed[i], reals[i])
+            j = S + i
             if self.cache_r and ce_r[i] >= 0:
-                left = self.cache_r.compose(tr_i[i], tr_f[i], int(ca_r[i]), int(ce_r[i]))
+                left = self.cache_r.compose(packed[j], reals[j], int(ce_r[i]))
             else:
-                left = _contig_part(tr_i[i], tr_f[i], inter_r[i])
+                left = _contig_from_chain(packed[j], reals[j])
                 if self.cache_r is not None and goal_r[i] >= 0:
-                    self.cache_r.harvest(tr_i[i], tr_f[i], inter_r[i])
+                    self.cache_r.harvest(nodes[j], packed[j], reals[j])
             left_rc = "".join(_COMP[c] for c in reversed(left))
             contigs.append(left_rc + nucl.lower() + right)
         self.last_stats["cache_hits"] = self.last_stats.get("cache_hits", 0) + int(

@@ -56,7 +56,13 @@ HWEIGHT = 2.0
 NEG = -1e30
 INT_MIN32 = -(2**31)
 
-__all__ = ["DeviceGraph", "DeviceHMM", "WavefrontConfig", "wavefront_search"]
+__all__ = [
+    "DeviceGraph",
+    "DeviceHMM",
+    "WavefrontConfig",
+    "wavefront_search",
+    "extract_chains",
+]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -197,6 +203,48 @@ def _to_fval(x):
     # .h:173): out-of-range -> INT_MIN
     ok = (x > INT_MIN32) & (x < 2**31 - 1)
     return jnp.where(ok, x.astype(jnp.int32), INT_MIN32)
+
+
+@partial(jax.jit, static_argnames=("maxc",))
+def extract_chains(trace_i, trace_f, start_idx, maxc: int):
+    """Walk parent pointers on device; return compact child->root chains.
+
+    Replaces host-side traceback over the full trace arenas: on a tunneled
+    TPU the [R, T, 8] arena transfer dominates wall-clock, while the chains
+    the host actually needs are [R, maxc] (~30x smaller). Returns
+    (nodes [R, maxc] int32, packed [R, maxc] int32, reals [R, maxc]):
+    packed = ne | state << 9 | state_no << 11, -1 marks past-end slots.
+    Chain entry 0 is `start_idx` itself; the last valid entry is the root
+    (trace parent -1, cf. runner traceback of hmm_graph_search.h:83-109).
+    """
+
+    def step(idx, _):
+        valid = idx >= 0
+        safe = jnp.maximum(idx, 0)
+        ints = jnp.take_along_axis(trace_i, safe[:, None, None], axis=1)[:, 0]
+        reals = jnp.take_along_axis(
+            trace_f[..., NF_REAL], safe[:, None], axis=1
+        )[:, 0]
+        node = jnp.where(valid, ints[:, NI_NODE], -1)
+        packed = (
+            ints[:, NI_NE]
+            | (ints[:, NI_STATE] << 9)
+            | (ints[:, NI_STATE_NO] << 11)
+        )
+        packed = jnp.where(valid, packed, -1)
+        parent = ints[:, NI_PARENT]
+        # self-referencing records (e.g. zero-filled padding) terminate
+        nxt = jnp.where(valid & (parent != idx), parent, -1)
+        return nxt, (node, packed, jnp.where(valid, reals, 0.0))
+
+    _, (nodes, packed, reals) = jax.lax.scan(
+        step, start_idx, None, length=maxc
+    )
+    return (
+        jnp.transpose(nodes),
+        jnp.transpose(packed),
+        jnp.transpose(reals),
+    )
 
 
 @partial(
