@@ -226,7 +226,7 @@ class BatchSearcher:
 
         if self.config.dtype is not self.dtype:
             self.config = dataclasses.replace(self.config, dtype=self.dtype)
-        self.graph = DeviceGraph.from_sdbg(self.dbg)
+        self.graph = DeviceGraph.from_sdbg(self.dbg, self.config.precompute_hops)
         self.dev_fwd = DeviceHMM.from_profile(self.fwd_hmm, self.fwd_h, self.dtype)
         self.dev_rev = DeviceHMM.from_profile(self.rev_hmm, self.rev_h, self.dtype)
         if self.fwd_hmm.model_length != self.rev_hmm.model_length:

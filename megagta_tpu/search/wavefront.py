@@ -68,19 +68,47 @@ __all__ = [
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class DeviceGraph:
-    succ: jnp.ndarray  # [size+1, 4] int32 (row `size` = invalid sentinel)
-    invalid: jnp.ndarray  # [size+1] bool
-    is_multi1: jnp.ndarray  # [size+1] bool
+    """Graph tables for the search kernel.
+
+    Two layouts (the search stage never mutates `invalid` — the reference
+    loads the final graph read-only, src/search.cpp:98 — so the whole 3-hop
+    codon expansion of node_enumerator.h:98-128 is structurally static):
+
+    * hop tables (default): `succ3 [size+1, 64]` = the 64 codon-path target
+      rows per source row, `flags3 [size+1, 64]` int8 bit0 = path valid
+      (all 3 hops exist, every hop + the source row valid), bit1 = low-cov
+      (all 3 hops multiplicity 1). One coalesced 256-byte row gather per
+      expansion instead of 3 nested scattered gathers (27 ms -> ~2 ms per
+      step at [8192, 64] on v5e).
+    * raw tables (memory fallback for graphs too big for 260 B/edge):
+      `succ [size+1, 4]`, `invalid`, `is_multi1`, walked 3 levels deep in
+      the kernel.
+    """
+
+    succ: jnp.ndarray | None  # [size+1, 4] int32 (row `size` = sentinel)
+    invalid: jnp.ndarray | None  # [size+1] bool
+    is_multi1: jnp.ndarray | None  # [size+1] bool
+    succ3: jnp.ndarray | None = None  # [size+1, 64] int32
+    flags3: jnp.ndarray | None = None  # [size+1, 64] int8
 
     def tree_flatten(self):
-        return (self.succ, self.invalid, self.is_multi1), None
+        return (self.succ, self.invalid, self.is_multi1, self.succ3, self.flags3), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
 
+    @property
+    def num_rows(self) -> int:
+        arr = self.succ3 if self.succ3 is not None else self.succ
+        return arr.shape[0]
+
+    # beyond this many rows the hop tables (260 B/row) are skipped in favor
+    # of the raw-table kernel path (keeps HBM for the pool/trace arenas)
+    HOP_TABLE_MAX_ROWS = 24_000_000
+
     @staticmethod
-    def from_sdbg(dbg: SdBG) -> "DeviceGraph":
+    def from_sdbg(dbg: SdBG, precompute_hops: bool | None = None) -> "DeviceGraph":
         size = dbg.size
         succ = np.full((size + 1, 4), size, np.int32)
         ok = dbg.succ >= 0
@@ -88,10 +116,35 @@ class DeviceGraph:
         succ[:size][~ok] = size
         invalid = np.append(dbg.invalid, True)
         multi1 = np.append(dbg.is_multi1, True)
+        if precompute_hops is None:
+            precompute_hops = size + 1 <= DeviceGraph.HOP_TABLE_MAX_ROWS
+        if not precompute_hops:
+            return DeviceGraph(
+                succ=jnp.asarray(succ),
+                invalid=jnp.asarray(invalid),
+                is_multi1=jnp.asarray(multi1),
+            )
+        l1 = succ  # [size+1, 4]
+        l2 = succ[l1].reshape(size + 1, 16)
+        l3 = succ[l2].reshape(size + 1, 64)
+        v = (
+            ~invalid[np.repeat(l1, 16, axis=1)]
+            & ~invalid[np.repeat(l2, 4, axis=1)]
+            & ~invalid[l3]
+            & ~invalid[:, None]
+        )
+        low = (
+            multi1[np.repeat(l1, 16, axis=1)]
+            & multi1[np.repeat(l2, 4, axis=1)]
+            & multi1[l3]
+        )
+        flags3 = (v.astype(np.int8) | (low.astype(np.int8) << 1)).astype(np.int8)
         return DeviceGraph(
-            succ=jnp.asarray(succ),
-            invalid=jnp.asarray(invalid),
-            is_multi1=jnp.asarray(multi1),
+            succ=None,
+            invalid=None,
+            is_multi1=None,
+            succ3=jnp.asarray(l3),
+            flags3=jnp.asarray(flags3),
         )
 
 
@@ -103,9 +156,17 @@ class DeviceHMM:
     trans: jnp.ndarray  # [L+1, 7]
     mme: jnp.ndarray  # [L+1]
     h: jnp.ndarray  # [3, L+1] heuristic (m, i, d)
+    # codon-indexed emission tables: msc64[s, c] = msc[s, aa(codon c)]
+    # (aa64 is a static per-direction table, so pre-applying it turns the
+    # per-candidate 2D emission gather into a coalesced 256 B row gather)
+    msc64: jnp.ndarray | None = None  # [L+1, 64]
+    isc64: jnp.ndarray | None = None  # [L+1, 64]
 
     def tree_flatten(self):
-        return (self.msc, self.isc, self.trans, self.mme, self.h), None
+        return (
+            self.msc, self.isc, self.trans, self.mme, self.h,
+            self.msc64, self.isc64,
+        ), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -117,13 +178,26 @@ class DeviceHMM:
 
     @staticmethod
     def stack(a: "DeviceHMM", b: "DeviceHMM") -> "DeviceHMM":
-        """Direction-stacked tables [2, ...] for the merged fwd+rev run."""
+        """Direction-stacked tables [2, ...] for the merged fwd+rev run.
+
+        The codon tables are direction-specific: row 0 uses the forward
+        codon->aa map, row 1 the reverse-complement map (build_aa64)."""
+        st = lambda x, y: jnp.stack([x, y])  # noqa: E731
+
+        def codon_tab(dev: "DeviceHMM", forward: bool):
+            aa = jnp.asarray(build_aa64(forward))
+            return dev.msc[:, aa], dev.isc[:, aa]
+
+        m0, i0 = codon_tab(a, True)
+        m1, i1 = codon_tab(b, False)
         return DeviceHMM(
-            msc=jnp.stack([a.msc, b.msc]),
-            isc=jnp.stack([a.isc, b.isc]),
-            trans=jnp.stack([a.trans, b.trans]),
-            mme=jnp.stack([a.mme, b.mme]),
-            h=jnp.stack([a.h, b.h]),
+            msc=st(a.msc, b.msc),
+            isc=st(a.isc, b.isc),
+            trans=st(a.trans, b.trans),
+            mme=st(a.mme, b.mme),
+            h=st(a.h, b.h),
+            msc64=st(m0, m1),
+            isc64=st(i0, i1),
         )
 
     @staticmethod
@@ -155,6 +229,9 @@ class WavefrontConfig:
     expand_width: int = 1  # B: frontier nodes expanded per seed per step
     use_cache: bool = False  # cross-seed path-cache short-circuit (turbo)
     use_pallas: bool = False  # fused Pallas pool-selection kernel
+    # None = auto (hop tables unless the graph exceeds the HBM threshold);
+    # False forces the raw 3-gather kernel path
+    precompute_hops: bool | None = None
     dtype: object = jnp.float32
 
 
@@ -349,19 +426,26 @@ def wavefront_search_merged(
         mme = hmm.mme[ndir, next_state]  # [N]
 
         # 3-hop codon gather
-        safe_node = jnp.clip(node, 0, graph.succ.shape[0] - 1)
-        l1 = graph.succ[safe_node]  # [N, 4]
-        v1 = ~graph.invalid[l1]
-        l2 = graph.succ[l1].reshape(N, 16)
-        v2 = ~graph.invalid[l2] & jnp.repeat(v1, 4, axis=1)
-        l3 = graph.succ[l2].reshape(N, 64)
-        v3 = ~graph.invalid[l3] & jnp.repeat(v2, 4, axis=1)
-        v3 = v3 & (node >= 0)[:, None] & ~graph.invalid[safe_node][:, None]
+        safe_node = jnp.clip(node, 0, graph.num_rows - 1)
+        if graph.succ3 is not None:
+            # precomputed hop tables: one coalesced row gather
+            l3 = graph.succ3[safe_node]  # [N, 64]
+            fl = graph.flags3[safe_node]
+            v3 = ((fl & 1) != 0) & (node >= 0)[:, None]
+            low_cov = jnp.where((fl & 2) != 0, low_cov_pen, 0.0)
+        else:
+            l1 = graph.succ[safe_node]  # [N, 4]
+            v1 = ~graph.invalid[l1]
+            l2 = graph.succ[l1].reshape(N, 16)
+            v2 = ~graph.invalid[l2] & jnp.repeat(v1, 4, axis=1)
+            l3 = graph.succ[l2].reshape(N, 64)
+            v3 = ~graph.invalid[l3] & jnp.repeat(v2, 4, axis=1)
+            v3 = v3 & (node >= 0)[:, None] & ~graph.invalid[safe_node][:, None]
 
-        m1 = graph.is_multi1[jnp.repeat(l1, 16, axis=1)]
-        m2 = graph.is_multi1[jnp.repeat(l2, 4, axis=1)]
-        m3 = graph.is_multi1[l3]
-        low_cov = jnp.where(m1 & m2 & m3, low_cov_pen, 0.0)
+            m1 = graph.is_multi1[jnp.repeat(l1, 16, axis=1)]
+            m2 = graph.is_multi1[jnp.repeat(l2, 4, axis=1)]
+            m3 = graph.is_multi1[l3]
+            low_cov = jnp.where(m1 & m2 & m3, low_cov_pen, 0.0)
 
         msc = hmm.msc[ndir[:, None], next_state[:, None], aa64]  # [N, 64]
         isc = hmm.isc[ndir[:, None], next_state[:, None], aa64]

@@ -168,3 +168,21 @@ def test_wavefront_pallas_selection(setup):
     )
     got = bs.search([(s.nucl.lower(), s.model_pos - 1) for s in seeds[:n]])
     assert got == expected
+
+
+def test_wavefront_raw_tables_match_hop_tables(setup):
+    """The memory-fallback raw 3-gather kernel equals the hop-table kernel."""
+    sc, dbg, seeds, fwd, rev = setup
+    n = min(12, len(seeds))
+    outs = []
+    for hops in (True, False):
+        bs = BatchSearcher(
+            dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
+            WavefrontConfig(
+                pool_size=1 << 13, max_steps=1 << 11, precompute_hops=hops
+            ),
+            dtype=jnp.float64,
+            chunk=16,
+        )
+        outs.append(bs.search([(s.nucl.lower(), s.model_pos - 1) for s in seeds[:n]]))
+    assert outs[0] == outs[1]
