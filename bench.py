@@ -86,9 +86,16 @@ def measure_ours(meta, dbg, seeds):
     rev = parse_hmm(meta["reverse_hmm"])
     bs = BatchSearcher(
         dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
-        WavefrontConfig(pool_size=1 << 12, max_steps=1 << 12, expand_width=1, use_cache=True),
+        WavefrontConfig(
+            pool_size=1 << 13,
+            max_steps=1536,
+            expand_width=8,
+            cand_cap=192,
+            use_cache=False,
+        ),
         dtype=jnp.float32,
-        chunk=128,
+        chunk=1536,  # all seeds in ONE device call: sequential steps = the
+        # longest single search / B, not a sum over chunks
     )
     # warm-up / compile
     bs.search(seeds[: min(8, len(seeds))])
@@ -97,6 +104,7 @@ def measure_ours(meta, dbg, seeds):
     wall = time.perf_counter() - t0
     return {
         "search_wall_s": wall,
+        "steps": bs.last_stats["steps"],
         "expansions": bs.last_stats["expansions"],
         "expansions_per_s": bs.last_stats["expansions"] / wall,
         "seeds": len(seeds),

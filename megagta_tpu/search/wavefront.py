@@ -227,6 +227,12 @@ class WavefrontConfig:
     prune_len: int = 20
     low_cov_penalty: float = 0.5
     expand_width: int = 1  # B: frontier nodes expanded per seed per step
+    # B>1 only: keep the top-cand_cap candidates by fval of the B*129
+    # produced per step (0 = keep all). Typical valid counts are ~5 per
+    # expansion (dBG out-degree ~1), so a cap of ~2*129 is lossless in
+    # practice while making the pool grow ~B x slower (fewer compact sorts);
+    # drops are flagged via `overflow`.
+    cand_cap: int = 0
     use_cache: bool = False  # cross-seed path-cache short-circuit (turbo)
     use_pallas: bool = False  # fused Pallas pool-selection kernel
     # None = auto (hop tables unless the graph exceeds the HBM threshold);
@@ -353,7 +359,12 @@ def wavefront_search_merged(
     B = config.expand_width
     dt = config.dtype
     L = model_length
-    CAND = B * 129
+    CAND0 = B * 129
+    CAND = (
+        min(config.cand_cap, CAND0)
+        if (B > 1 and config.cand_cap > 0)
+        else CAND0
+    )
     T = config.max_steps * B + 1
 
     aa64_2 = jnp.stack(
@@ -447,8 +458,12 @@ def wavefront_search_merged(
             m3 = graph.is_multi1[l3]
             low_cov = jnp.where(m1 & m2 & m3, low_cov_pen, 0.0)
 
-        msc = hmm.msc[ndir[:, None], next_state[:, None], aa64]  # [N, 64]
-        isc = hmm.isc[ndir[:, None], next_state[:, None], aa64]
+        # codon-indexed row gathers (msc64[d, s, c] == msc[d, s, aa64_2[d, c]]
+        # by construction in DeviceHMM.stack): one coalesced 256 B row per
+        # candidate instead of a 64-element scattered gather — elementwise
+        # gathers measured ~8 us/1k elements on v5e vs ~free row gathers
+        msc = hmm.msc64[ndir, next_state]  # [N, 64]
+        isc = hmm.isc64[ndir, next_state]
 
         score = floats[:, NF_SCORE][:, None]
         real = floats[:, NF_REAL][:, None]
@@ -716,10 +731,27 @@ def wavefront_search_merged(
             step == 0,
         )
         cvalid = cvalid & expand_mask.reshape(S * B)[:, None]
-        ci = ci.reshape(S, CAND, 8)
-        cf = cf.reshape(S, CAND, 3)
-        cvalid = cvalid.reshape(S, CAND)
+        ci = ci.reshape(S, CAND0, 8)
+        cf = cf.reshape(S, CAND0, 3)
+        cvalid = cvalid.reshape(S, CAND0)
         expansions = expansions + cvalid.sum(dtype=jnp.int32)
+
+        # ---- candidate compression (turbo): keep top-CAND by fval so the
+        # pool grows ~B x slower between compact sorts
+        if CAND < CAND0:
+            ckey = jnp.where(cvalid, ci[..., NI_FVAL], INT_MIN32).astype(
+                jnp.float32
+            )
+            _, keep = jax.lax.approx_max_k(ckey, CAND, recall_target=0.99)
+            overflow = overflow | (
+                cvalid.sum(axis=1, dtype=jnp.int32) > CAND
+            )
+            kept_key = jnp.take_along_axis(ckey, keep, axis=1)
+            ci = jnp.take_along_axis(ci, keep[..., None], axis=1)
+            cf = jnp.take_along_axis(cf, keep[..., None], axis=1)
+            cvalid = jnp.take_along_axis(cvalid, keep, axis=1) & (
+                kept_key > INT_MIN32
+            )
 
         # ---- compact pool when needed
         need = next_free + CAND > P

@@ -113,6 +113,27 @@ def test_wavefront_wide_matches_oracle(setup):
     assert got == expected
 
 
+def test_wavefront_cand_cap_matches_oracle(setup):
+    """Candidate compression (turbo): top-cand_cap by fval per step — on
+    this scenario the cap is loose enough to be lossless, so the results
+    still equal the serial oracle and no overflow is flagged."""
+    sc, dbg, seeds, fwd, rev = setup
+    n = min(12, len(seeds))
+    expected = oracle_contigs(dbg, seeds, fwd, rev, n)
+    bs = BatchSearcher(
+        dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
+        WavefrontConfig(
+            pool_size=1 << 13, max_steps=1 << 10, expand_width=8,
+            cand_cap=192,
+        ),
+        dtype=jnp.float64,
+        chunk=16,
+    )
+    got = bs.search([(s.nucl.lower(), s.model_pos - 1) for s in seeds[:n]])
+    assert bs.last_stats["overflow"] == 0
+    assert got == expected
+
+
 def test_wavefront_sharded_over_mesh(setup):
     """Seed axis sharded over the 8-device CPU mesh: same results."""
     import jax

@@ -23,13 +23,13 @@ B = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 N = S * B
 CAND = B * 129
 T = 4096 * B + 1
-ITERS = 50
+ITERS = int(os.environ.get("ABLATE_ITERS", "500"))
 
 from megagta_tpu.graph.sdbg import SdBG
 from megagta_tpu.search.wavefront import DeviceGraph
 
 dbg = SdBG.load(os.path.join(REPO, ".bench_cache", "graph", "44"))
-graph = DeviceGraph.from_sdbg(dbg)
+graph = DeviceGraph.from_sdbg(dbg, precompute_hops=False)
 G = graph.succ.shape[0]
 
 key = jax.random.PRNGKey(0)
@@ -149,3 +149,22 @@ def taa_body(i, p):
 
 
 timeit("take_along_axis sel", loop(taa_body), pool_i)
+
+# 9. compact alternatives at [S, P]: 13-op payload sort vs 2-op sort + row gather
+ops13 = tuple(jax.random.randint(key, (S, P), 0, 1 << 20, jnp.int32) for _ in range(13))
+def sort13_body(i, ops):
+    s = jax.lax.sort(ops, dimension=1, num_keys=1, is_stable=True)
+    return (s[0] + 1,) + s[1:]
+timeit("compact 13-op sort", loop(sort13_body), ops13)
+
+pool8 = jax.random.randint(key, (S, P, 8), 0, 1 << 20, jnp.int32)
+poolf3 = jax.random.normal(key, (S, P, 3), jnp.float32)
+keyarr = jax.random.randint(key, (S, P), 0, 1 << 20, jnp.int32)
+def sortgather_body(i, state):
+    pool8, poolf3, keyarr = state
+    idx = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None], (S, P))
+    k, perm = jax.lax.sort((keyarr, idx), dimension=1, num_keys=1, is_stable=True)
+    p8 = jnp.take_along_axis(pool8, perm[..., None], axis=1)
+    pf = jnp.take_along_axis(poolf3, perm[..., None], axis=1)
+    return (p8, pf, k + 1)
+timeit("compact 2-op sort + row gather", loop(sortgather_body), (pool8, poolf3, keyarr))
