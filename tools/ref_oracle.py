@@ -12,9 +12,24 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF_BIN = os.path.join(REPO, ".ref_build", "src", "megagta")
+REF_SRC = "/root/reference/src"
 
 
 def available() -> bool:
+    """True when the reference binary exists; builds it on first call when
+    the reference source tree is present (tools/build_ref.sh, ~1 min)."""
+    if os.path.exists(REF_BIN):
+        return True
+    if not os.path.isdir(REF_SRC):
+        return False
+    try:
+        subprocess.run(
+            [os.path.join(REPO, "tools", "build_ref.sh")],
+            check=True, capture_output=True, timeout=1200,
+        )
+    except (subprocess.SubprocessError, OSError) as e:
+        sys.stderr.write(f"reference build failed: {e}\n")
+        return False
     return os.path.exists(REF_BIN)
 
 
