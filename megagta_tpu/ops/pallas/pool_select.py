@@ -1,11 +1,15 @@
-"""Pallas TPU kernel: fused priority-key computation + lexicographic argmax
-over the wavefront pool.
+"""Pallas TPU kernel: fused lexicographic pool-selection.
 
-One VMEM pass replaces the XLA chain (two key computations, four masked
-reductions, one argmax) that scans the [S, P] pool every search step
-(search/wavefront.py::_priority_keys/_argmax_lex — the reference's
-priority-queue top() in a_star_node.h:34-83). Grid = seeds; each program
-reduces its seed's pool tile-by-tile in VMEM.
+One VMEM pass over (fval, ibx) replaces the XLA chain (blockwise maxima,
+tie filters, argmaxes) that scans the [S, P] pool every search step
+(search/wavefront.py::select_lex — the reference's priority-queue top() in
+a_star_node.h:34-83). Grid = seed tiles; each program reduces a tile of
+seeds' pools in VMEM.
+
+Field layout matches search/wavefront.py v2: `fval` [S, P] int32 with
+INT_MIN marking dead/empty slots and rows masked by `active`; `ibx` packs
+state (bits 0-1) and state_no (bits 2-13); the lexicographic order is
+(max fval, min state_no, state m > d > i), ties -> lowest index.
 """
 
 from __future__ import annotations
@@ -19,59 +23,68 @@ from jax.experimental.pallas import tpu as pltpu
 
 INT_MIN32 = -(2**31)
 
-# field indices (keep in sync with search/wavefront.py)
-NI_STATE_NO, NI_STATE, NI_FVAL = 1, 2, 3
+ROWS = 8  # seed rows per program (sublane tile height)
 
 
-def _kernel(fval_ref, sno_ref, st_ref, alive_ref, idx_ref, any_ref):
-    k1 = fval_ref[...]  # [R, 128]
-    sno = sno_ref[...]
-    st = st_ref[...]
-    msk = alive_ref[...] != 0
+def _kernel(fval_ref, ibx_ref, act_ref, idx_ref, any_ref):
+    f = fval_ref[0]  # [ROWS, P]
+    ibx = ibx_ref[0]
+    act = act_ref[0] != 0  # [ROWS, 1]
 
-    # state rank m=3, d=2, i=1 (state codes 0,1,2)
+    fm = jnp.where(act, f, INT_MIN32)
+    best1 = jnp.max(fm, axis=1, keepdims=True)  # [ROWS, 1]
+
+    sno = (ibx >> 2) & 0xFFF
+    st = ibx & 3
     rank = jnp.where(st == 0, 3, jnp.where(st == 2, 2, 1))
-    k2 = ((32767 - sno) << 4) | rank
-
-    k1m = jnp.where(msk, k1, INT_MIN32)
-    b1 = jnp.max(k1m)
-    tie = (k1m == b1) & msk
+    k2 = ((4095 - sno) << 2) | rank
+    tie = fm == best1
     k2m = jnp.where(tie, k2, INT_MIN32)
-    b2 = jnp.max(k2m)
-    cand = tie & (k2m == b2)
+    best2 = jnp.max(k2m, axis=1, keepdims=True)
 
-    R, C = k1.shape
-    rows = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
-    flat = rows * C + cols
-    idx = jnp.min(jnp.where(cand, flat, R * C))
-    idx_ref[0] = jnp.where(jnp.any(msk), idx, 0)
-    any_ref[0] = jnp.any(msk).astype(jnp.int32)
+    cand = tie & (k2m == best2)
+    P = f.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, f.shape, 1)
+    idx = jnp.min(jnp.where(cand, cols, P), axis=1)
+    alive = best1[:, 0] > INT_MIN32
+    idx_ref[0] = jnp.where(alive, idx, 0)
+    any_ref[0] = alive.astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def pool_select(pool_i: jnp.ndarray, alive: jnp.ndarray, interpret: bool = False):
-    """(best index [S], any_alive [S]) for [S, P, 8] int32 pools."""
-    S, P, _ = pool_i.shape
-    R = P // 128
-    fval = pool_i[..., NI_FVAL].reshape(S, R, 128)
-    sno = pool_i[..., NI_STATE_NO].reshape(S, R, 128)
-    st = pool_i[..., NI_STATE].reshape(S, R, 128)
-    al = alive.astype(jnp.int32).reshape(S, R, 128)
+def pool_select(fval: jnp.ndarray, ibx: jnp.ndarray, active: jnp.ndarray,
+                interpret: bool = False):
+    """(lex argmax index [S], any_alive [S]) over per-seed pools.
 
-    spec = pl.BlockSpec((1, R, 128), lambda s: (s, 0, 0), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        lambda f, n, t, a, i, y: _kernel(f[0], n[0], t[0], a[0], i, y),
-        grid=(S,),
-        in_specs=[spec, spec, spec, spec],
+    fval/ibx: [S, P] int32; active: [S] bool (inactive rows -> any=False).
+    """
+    S, P = fval.shape
+    pad = (-S) % ROWS
+    if pad:
+        fval = jnp.pad(fval, ((0, pad), (0, 0)), constant_values=INT_MIN32)
+        ibx = jnp.pad(ibx, ((0, pad), (0, 0)))
+        active = jnp.pad(active, (0, pad))
+    Sp = S + pad
+    act = active.astype(jnp.int32).reshape(Sp, 1)
+
+    spec = pl.BlockSpec((1, ROWS, P), lambda s: (s, 0, 0), memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec((1, ROWS, 1), lambda s: (s, 0, 0), memory_space=pltpu.VMEM)
+    idx, anyv = pl.pallas_call(
+        _kernel,
+        grid=(Sp // ROWS,),
+        in_specs=[spec, spec, aspec],
         out_specs=(
-            pl.BlockSpec((1,), lambda s: (s,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda s: (s,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ROWS), lambda s: (s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ROWS), lambda s: (s, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((S,), jnp.int32),
-            jax.ShapeDtypeStruct((S,), jnp.int32),
+            jax.ShapeDtypeStruct((Sp // ROWS, ROWS), jnp.int32),
+            jax.ShapeDtypeStruct((Sp // ROWS, ROWS), jnp.int32),
         ),
         interpret=interpret,
-    )(fval, sno, st, al)
-    return out[0], out[1] != 0
+    )(
+        fval.reshape(Sp // ROWS, ROWS, P),
+        ibx.reshape(Sp // ROWS, ROWS, P),
+        act.reshape(Sp // ROWS, ROWS, 1),
+    )
+    return idx.reshape(Sp)[:S], anyv.reshape(Sp)[:S] != 0

@@ -1,0 +1,204 @@
+"""Pallas TPU kernel: fused wavefront-step front half.
+
+One streaming VMEM pass over the pool planes replaces the XLA chain that
+dominated the per-step cost (each [S, P]-shaped op pays its own HBM pass,
+and take_along_axis gathers serialize on TPU):
+
+  select_lex (exact lexicographic top-1, a_star_node.h:34-83 ordering)
+  + select top-B frontier by fval among non-goal entries (exact, iterative)
+  + goal detection and goal-consumes-slot-0 override
+  + extraction of every selected entry's 7 pool fields (masked reductions,
+    no gathers)
+  + closed-kill: fval := INT_MIN for every entry matching an expanded
+    identity (hmm_graph_search.h:294-331 dedup semantics)
+
+Grid = tiles of ROWS seeds; in/out fval is aliased so the kill is in-place.
+Field layout matches search/wavefront.py v2 (ibx bits 0-1 state, 2-13
+state_no; IDENT_MASK selects the identity bits).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INT_MIN32 = -(2**31)
+IDENT_MASK = (1 << 14) - 1
+
+ROWS = 8  # seed rows per program
+
+
+def _make_kernel(B: int, L: int):
+    # small outputs are packed into 128-lane planes (TPU tiling requires the
+    # last block dim to be 128 or the full array dim): outi1 = sel | selv<<32
+    # ... -> cols [0:32) sel, [32:64) selv, [64:96) ia_s, [96:128) ibx_s;
+    # outi2 = [0:32) lpx_s, col 32 any_alive, col 33 is_goal;
+    # outf  = [0:32) sc_s, [32:64) re_s, [64:96) mx_s.
+    def kernel(
+        fval_ref, ia_ref, ibx_ref, lpx_ref, sc_ref, re_ref, mx_ref, act_ref,
+        fval_out, outi1_ref, outi2_ref, outf_ref,
+    ):
+        f = fval_ref[0]  # [ROWS, P]
+        ibx = ibx_ref[0]
+        act = act_ref[0] != 0  # [ROWS, 1]
+        P = f.shape[1]
+        cols = jax.lax.broadcasted_iota(jnp.int32, f.shape, 1)
+
+        fm = jnp.where(act, f, INT_MIN32)
+        # ---- exact lex top-1
+        best1 = jnp.max(fm, axis=1, keepdims=True)
+        sno = (ibx >> 2) & 0xFFF
+        st = ibx & 3
+        rank = jnp.where(st == 0, 3, jnp.where(st == 2, 2, 1))
+        k2 = ((4095 - sno) << 2) | rank
+        tie = fm == best1
+        k2m = jnp.where(tie, k2, INT_MIN32)
+        best2 = jnp.max(k2m, axis=1, keepdims=True)
+        cand1 = tie & (k2m == best2)
+        sel1 = jnp.min(jnp.where(cand1, cols, P), axis=1)  # [ROWS]
+        any_alive = best1[:, 0] > INT_MIN32
+
+        # is_goal: state_no at sel1 >= L (only meaningful when any_alive)
+        sno1 = jnp.max(jnp.where(cols == sel1[:, None], sno, 0), axis=1)
+        is_goal = any_alive & act[:, 0] & (sno1 >= L)
+
+        # ---- exact top-B among non-goal entries (iterative argmax)
+        sels = []
+        vals = []
+        nk = jnp.where(act & (sno < L), f, INT_MIN32)
+        for _ in range(B):
+            v = jnp.max(nk, axis=1)
+            i = jnp.min(
+                jnp.where(nk == v[:, None], cols, P), axis=1
+            )
+            sels.append(jnp.where(v > INT_MIN32, i, 0))
+            vals.append(v)
+            nk = jnp.where(cols == i[:, None], INT_MIN32, nk)
+
+        sel = jnp.stack(sels, axis=1)  # [ROWS, B]
+        topv = jnp.stack(vals, axis=1)
+        selv = (topv > INT_MIN32) & act[:, 0][:, None]
+        if B == 1:
+            sel = sel1[:, None]
+            selv = (any_alive & act[:, 0])[:, None]
+        else:
+            # goal consumes only slot 0 (carrying the goal node)
+            slot0 = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 1) == 0
+            sel = jnp.where(is_goal[:, None] & slot0, sel1[:, None], sel)
+            selv = jnp.where(is_goal[:, None], slot0, selv) & act[:, 0][:, None]
+
+        # ---- field extraction + kill masks, one pass per selected slot
+        ia = ia_ref[0]
+        lpx = lpx_ref[0]
+        sc = sc_ref[0]
+        re = re_ref[0]
+        mx = mx_ref[0]
+        dead = jnp.zeros(f.shape, bool)
+        ia_s = []
+        ibx_s = []
+        lpx_s = []
+        sc_s = []
+        re_s = []
+        mx_s = []
+        for b in range(B):
+            pos = cols == sel[:, b][:, None]  # [ROWS, P] one-hot
+            sv = selv[:, b][:, None]
+
+            def ext(arr, zero):
+                return jnp.max(jnp.where(pos, arr, zero), axis=1)
+
+            ia_b = ext(ia, INT_MIN32)
+            ibx_b = ext(ibx, INT_MIN32)
+            ia_s.append(ia_b)
+            ibx_s.append(ibx_b)
+            lpx_s.append(ext(lpx, INT_MIN32))
+            sc_s.append(ext(sc, -jnp.inf))
+            re_s.append(ext(re, -jnp.inf))
+            mx_s.append(ext(mx, -jnp.inf))
+            dead = dead | (
+                (ia == ia_b[:, None])
+                & ((ibx & IDENT_MASK) == (ibx_b[:, None] & IDENT_MASK))
+                & sv
+            )
+
+        R = f.shape[0]
+        pad = lambda a: jnp.pad(jnp.stack(a, axis=1), ((0, 0), (0, 32 - B)))  # noqa: E731
+        outi1_ref[0] = jnp.concatenate(
+            [
+                pad([sel[:, b] for b in range(B)]),
+                pad([selv[:, b].astype(jnp.int32) for b in range(B)]),
+                pad(ia_s),
+                pad(ibx_s),
+            ],
+            axis=1,
+        )
+        flags = jnp.stack(
+            [any_alive.astype(jnp.int32), is_goal.astype(jnp.int32)], axis=1
+        )
+        outi2_ref[0] = jnp.concatenate(
+            [pad(lpx_s), flags, jnp.zeros((R, 94), jnp.int32)], axis=1
+        )
+        outf_ref[0] = jnp.concatenate(
+            [pad(sc_s), pad(re_s), pad(mx_s), jnp.zeros((R, 32), sc.dtype)],
+            axis=1,
+        )
+
+        fval_out[0] = jnp.where(dead, INT_MIN32, f)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("B", "L", "interpret"))
+def step_select_kill(fval, ia, ibx, lpx, fsc, fre, fmx, active,
+                     B: int, L: int, interpret: bool = False):
+    """Fused select + extract + kill. Returns (fval', sel [S,B], selv [S,B]
+    bool, any_alive [S] bool, is_goal [S] bool, ia_s, ibx_s, lpx_s [S,B]
+    i32, sc_s, re_s, mx_s [S,B] dt)."""
+    S, P = fval.shape
+    dt = fsc.dtype
+    assert B <= 32, "packed output lanes allow at most 32 frontier slots"
+    pad = (-S) % ROWS
+    if pad:
+        padi = lambda a: jnp.pad(a, ((0, pad), (0, 0)))  # noqa: E731
+        fval = jnp.pad(fval, ((0, pad), (0, 0)), constant_values=INT_MIN32)
+        ia, ibx, lpx = padi(ia), padi(ibx), padi(lpx)
+        fsc, fre, fmx = padi(fsc), padi(fre), padi(fmx)
+        active = jnp.pad(active, (0, pad))
+    Sp = S + pad
+    G = Sp // ROWS
+    r3 = lambda a: a.reshape(G, ROWS, P)  # noqa: E731
+    act = active.astype(jnp.int32).reshape(G, ROWS, 1)
+
+    spec = pl.BlockSpec((1, ROWS, P), lambda s: (s, 0, 0), memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec((1, ROWS, 1), lambda s: (s, 0, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, ROWS, 128), lambda s: (s, 0, 0), memory_space=pltpu.VMEM)
+
+    fval2, outi1, outi2, outf = pl.pallas_call(
+        _make_kernel(B, L),
+        grid=(G,),
+        in_specs=[spec] * 7 + [aspec],
+        out_specs=(spec, ospec, ospec, ospec),
+        out_shape=(
+            jax.ShapeDtypeStruct((G, ROWS, P), jnp.int32),
+            jax.ShapeDtypeStruct((G, ROWS, 128), jnp.int32),
+            jax.ShapeDtypeStruct((G, ROWS, 128), jnp.int32),
+            jax.ShapeDtypeStruct((G, ROWS, 128), dt),
+        ),
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(r3(fval), r3(ia), r3(ibx), r3(lpx), r3(fsc), r3(fre), r3(fmx), act)
+
+    i1 = outi1.reshape(Sp, 128)[:S]
+    i2 = outi2.reshape(Sp, 128)[:S]
+    of = outf.reshape(Sp, 128)[:S]
+    return (
+        fval2.reshape(Sp, P)[:S],
+        i1[:, 0:B], i1[:, 32 : 32 + B] != 0,
+        i2[:, 32] != 0, i2[:, 33] != 0,
+        i1[:, 64 : 64 + B], i1[:, 96 : 96 + B], i2[:, 0:B],
+        of[:, 0:B], of[:, 32 : 32 + B], of[:, 64 : 64 + B],
+    )

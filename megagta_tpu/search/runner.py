@@ -349,7 +349,8 @@ class BatchSearcher:
         )
         while True:
             nodes, packed, reals = extract_chains(
-                res["trace_i"], res["trace_f"], start_idx, self.maxc
+                res["tnode"], res["tpack"], res["tparent"], res["treal"],
+                start_idx, self.maxc,
             )
             nodes = np.asarray(nodes)
             packed = np.asarray(packed)

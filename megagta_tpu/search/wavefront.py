@@ -8,21 +8,42 @@ with an OpenMP loop over seeds (src/search.cpp:184-188). Design:
     nodes per step (SURVEY.md section 7: wavefront batched DP). All graph
     navigation is gathers into the SdBG's precomputed succ/invalid/
     is_multi1 arrays — the 3-hop 64-codon walk of node_enumerator.h:98-128
-    becomes three [S*B, 4^h] gathers.
+    becomes three [S*B, 4^h] gathers (or one hop-table row gather).
   * Exact-semantics pool: the serial algorithm's open_hash dedup
     (hmm_graph_search.h:294-331) only avoids pushing dominated duplicates;
-    pushing everything and skipping closed identities at pop time yields the
-    IDENTICAL expansion sequence. The pool is therefore append-only with
-    lazy "kill all entries matching expanded identities" masking, plus
-    compaction when full.
+    pushing everything and killing all entries matching expanded identities
+    yields the IDENTICAL expansion sequence. The pool is append-only with
+    masked kills, plus compaction when full.
   * Goal acceptance stays exact for every B: a goal node is accepted only
     when it is the lexicographic maximum of the whole pool — precisely the
     serial "goal popped first" condition (a_star_node.h:34-83 ordering:
     max fval, then min state_no, then state m > d > i).
   * Traceback: every expanded node appends one record to a trace arena
-    (parent index, packed codon emission, state, real_score, length);
-    contigs are reconstructed host-side from the goal/inter-goal chain
-    (partialResultFromGoal, hmm_graph_search.h:83-109).
+    (parent index, packed codon emission, state, real_score);
+    contigs are reconstructed from the goal/inter-goal chain on device
+    (extract_chains; partialResultFromGoal, hmm_graph_search.h:83-109).
+
+Memory layout (v2 — the per-step cost is HBM traffic, so the pool is laid
+out so each step touches only what it must):
+
+  * The pool is SEPARATE per-field [S, P] arrays, not an interleaved
+    [S, P, F] block: `fval` (selection priority; INT_MIN = dead/empty slot),
+    `ia` (node id), `ibx` (packed state|state_no|neg_count|codon),
+    `lpx` (packed parent+1|length), and three score arrays. Selection reads
+    only fval(+ibx for tie-breaks); the kill-by-identity compare reads
+    ia/ibx and rewrites fval; the other arrays are touched only by B-row
+    gathers and CAND-column appends. The v1 interleaved layout made every
+    step read the whole pool several times (~26 ms/step at production
+    shapes); v2 steps are ~1 ms.
+  * Selection is hierarchical and EXACT: per-128 block maxima, then the
+    lexicographic (fval, state_no, state) max resolved within candidate
+    blocks. Top-B frontier selection gathers the top-B blocks by max and
+    takes an exact top_k inside them (any global top-B entry lives in a
+    block whose max is >= the B-th best value, and at most B-1 blocks can
+    have a larger max, so the top-B blocks contain all top-B entries).
+  * Compaction (squeeze alive entries front, evict worst on overflow) runs
+    UNCONDITIONALLY in an outer loop each time the inner step loop fills
+    the pool — no lax.cond on big state inside the hot loop.
 
 With expand_width B == 1 the expansion sequence equals the serial oracle's
 exactly (tested bit-for-bit in float64). B > 1 explores a superset per step
@@ -31,10 +52,23 @@ pops); the acceptance rule above keeps results equal in practice and ~B x
 faster.
 
 Other differences vs the serial oracle (documented, tested):
-  * no cross-seed term-node cache (a shared-memory speed memo whose effect
-    depends on thread timing in the reference; SURVEY.md risk list)
   * pool overflow evicts worst-priority entries (reported via a flag)
+  * candidate compression (cand_cap) keeps the top-cap candidates per step
+    via approx_max_k; any drop of a VALID candidate is detected and flagged
+    via `overflow` (kept-valid count < min(valid count, cap)). Note the
+    compression key is float32: fvals beyond 2^24 may be mis-ordered AT the
+    cap boundary (kept-vs-dropped swap among near-tied candidates); the
+    count check cannot see a swap, only a shortfall. Exact mode is
+    cand_cap=0.
   * float32 scores on TPU (float64 under JAX x64 for exactness tests)
+
+Packed-field layout (asserted in wavefront_search_merged):
+  ibx: bits 0-1 state (0=m 1=i 2=d), 2-13 state_no (model len <= 4094),
+       14-19 neg_count (saturating at 63; prune_len <= 62),
+       20-28 packed codon emission
+  lpx: bits 0-19 parent trace index + 1 (0 = root), 20-30 length
+       (saturating at 2047 — beyond that length only feeds the
+       exit-probability length cap of 2999, cf. hmm_graph_search.h:48-51)
 """
 
 from __future__ import annotations
@@ -55,12 +89,19 @@ SCALE = 10000.0
 HWEIGHT = 2.0
 NEG = -1e30
 INT_MIN32 = -(2**31)
+INT_MAX32 = 2**31 - 1
+
+IDENT_MASK = (1 << 14) - 1  # state | state_no<<2
+NE_SHIFT = 20
+NEG_SHIFT = 14
+LEN_SHIFT = 20
+PARENT_MASK = (1 << 20) - 1
 
 __all__ = [
     "DeviceGraph",
     "DeviceHMM",
     "WavefrontConfig",
-    "wavefront_search",
+    "wavefront_search_merged",
     "extract_chains",
 ]
 
@@ -74,25 +115,26 @@ class DeviceGraph:
     loads the final graph read-only, src/search.cpp:98 — so the whole 3-hop
     codon expansion of node_enumerator.h:98-128 is structurally static):
 
-    * hop tables (default): `succ3 [size+1, 64]` = the 64 codon-path target
-      rows per source row, `flags3 [size+1, 64]` int8 bit0 = path valid
-      (all 3 hops exist, every hop + the source row valid), bit1 = low-cov
-      (all 3 hops multiplicity 1). One coalesced 256-byte row gather per
-      expansion instead of 3 nested scattered gathers (27 ms -> ~2 ms per
-      step at [8192, 64] on v5e).
-    * raw tables (memory fallback for graphs too big for 260 B/edge):
+    * path tables (default): `pt [size+1, W, 2]` = the VALID codon paths
+      per source row, compacted left (stable, so the candidate order equals
+      the raw 64-slot order restricted to valid slots — index tie-breaks
+      are preserved). W = the graph's max valid-path count rounded up to a
+      power of two (typically 4-16 vs the dense 64: a dBG node has out-
+      degree ~1, so nearly all of the 4^3 codon slots are dead weight in
+      both the row gather and the pool append). word 0 = target row;
+      word 1 = aa_fwd | aa_rev<<5 | packed_codon<<10 | valid<<19 | low<<20.
+    * raw tables (memory fallback for graphs too big for 8W B/edge):
       `succ [size+1, 4]`, `invalid`, `is_multi1`, walked 3 levels deep in
-      the kernel.
+      the kernel (dense 64-wide candidates).
     """
 
     succ: jnp.ndarray | None  # [size+1, 4] int32 (row `size` = sentinel)
     invalid: jnp.ndarray | None  # [size+1] bool
     is_multi1: jnp.ndarray | None  # [size+1] bool
-    succ3: jnp.ndarray | None = None  # [size+1, 64] int32
-    flags3: jnp.ndarray | None = None  # [size+1, 64] int8
+    pt: jnp.ndarray | None = None  # [size+1, W, 2] int32
 
     def tree_flatten(self):
-        return (self.succ, self.invalid, self.is_multi1, self.succ3, self.flags3), None
+        return (self.succ, self.invalid, self.is_multi1, self.pt), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -100,12 +142,17 @@ class DeviceGraph:
 
     @property
     def num_rows(self) -> int:
-        arr = self.succ3 if self.succ3 is not None else self.succ
+        arr = self.pt if self.pt is not None else self.succ
         return arr.shape[0]
 
-    # beyond this many rows the hop tables (260 B/row) are skipped in favor
-    # of the raw-table kernel path (keeps HBM for the pool/trace arenas)
-    HOP_TABLE_MAX_ROWS = 24_000_000
+    @property
+    def W(self) -> int:
+        """Codon paths per row (64 in raw mode)."""
+        return self.pt.shape[1] if self.pt is not None else 64
+
+    # beyond this many rows the path tables (~128 B/row) are skipped in
+    # favor of the raw-table kernel path (keeps HBM for the pool arenas)
+    HOP_TABLE_MAX_ROWS = 48_000_000
 
     @staticmethod
     def from_sdbg(dbg: SdBG, precompute_hops: bool | None = None) -> "DeviceGraph":
@@ -138,13 +185,29 @@ class DeviceGraph:
             & multi1[np.repeat(l2, 4, axis=1)]
             & multi1[l3]
         )
-        flags3 = (v.astype(np.int8) | (low.astype(np.int8) << 1)).astype(np.int8)
+        # stable left-compaction of valid slots: candidate (hence pool
+        # append) order stays the raw slot order among alive entries
+        maxw = max(1, int(v.sum(1).max()))
+        W = 1 << (maxw - 1).bit_length()
+        order = np.argsort(~v, axis=1, kind="stable")[:, :W]
+        tgt = np.take_along_axis(l3, order, 1).astype(np.int32)
+        vv = np.take_along_axis(v, order, 1)
+        lowv = np.take_along_axis(low, order, 1)
+        c = order.astype(np.int32)
+        c1, c2, c3 = c >> 4, (c >> 2) & 3, c & 3
+        ne = (c1 << 6) | (c2 << 3) | c3
+        aa_f = CODON_TABLE_FLAT.astype(np.int32)[c]
+        aa_r = RC_CODON_TABLE_FLAT.astype(np.int32)[c]
+        w1 = (
+            aa_f
+            | (aa_r << 5)
+            | (ne << 10)
+            | (vv.astype(np.int32) << 19)
+            | (lowv.astype(np.int32) << 20)
+        ).astype(np.int32)
+        pt = np.stack([tgt, w1], axis=-1)
         return DeviceGraph(
-            succ=None,
-            invalid=None,
-            is_multi1=None,
-            succ3=jnp.asarray(l3),
-            flags3=jnp.asarray(flags3),
+            succ=None, invalid=None, is_multi1=None, pt=jnp.asarray(pt)
         )
 
 
@@ -156,16 +219,18 @@ class DeviceHMM:
     trans: jnp.ndarray  # [L+1, 7]
     mme: jnp.ndarray  # [L+1]
     h: jnp.ndarray  # [3, L+1] heuristic (m, i, d)
-    # codon-indexed emission tables: msc64[s, c] = msc[s, aa(codon c)]
-    # (aa64 is a static per-direction table, so pre-applying it turns the
-    # per-candidate 2D emission gather into a coalesced 256 B row gather)
-    msc64: jnp.ndarray | None = None  # [L+1, 64]
-    isc64: jnp.ndarray | None = None  # [L+1, 64]
+    # fused per-state scoring row, indexed by dir*(L+1) + min(state_no, L):
+    # cols 0-21 msc[next], 22-43 isc[next], 44-50 trans[cur], 51 mme[next],
+    # 52 h_m[next], 53 h_i[cur], 54 h_d[next] (next = min(cur+1, L)).
+    # One row per expanded node replaces seven scattered table gathers; the
+    # kernel fetches it with an exact one-hot matmul (a 0/1 x value product
+    # has a single nonzero term per output, so even the TPU's bf16x3 f32
+    # dot reproduces the stored float bit-for-bit).
+    hsuper: jnp.ndarray | None = None  # [2*(L+1), 64]
 
     def tree_flatten(self):
         return (
-            self.msc, self.isc, self.trans, self.mme, self.h,
-            self.msc64, self.isc64,
+            self.msc, self.isc, self.trans, self.mme, self.h, self.hsuper,
         ), None
 
     @classmethod
@@ -178,26 +243,30 @@ class DeviceHMM:
 
     @staticmethod
     def stack(a: "DeviceHMM", b: "DeviceHMM") -> "DeviceHMM":
-        """Direction-stacked tables [2, ...] for the merged fwd+rev run.
-
-        The codon tables are direction-specific: row 0 uses the forward
-        codon->aa map, row 1 the reverse-complement map (build_aa64)."""
+        """Direction-stacked tables [2, ...] for the merged fwd+rev run."""
         st = lambda x, y: jnp.stack([x, y])  # noqa: E731
 
-        def codon_tab(dev: "DeviceHMM", forward: bool):
-            aa = jnp.asarray(build_aa64(forward))
-            return dev.msc[:, aa], dev.isc[:, aa]
+        def super_rows(dev: "DeviceHMM"):
+            L = dev.L
+            cur = jnp.arange(L + 1)
+            nxt = jnp.minimum(cur + 1, L)
+            out = jnp.zeros((L + 1, 64), dev.msc.dtype)
+            out = out.at[:, 0:22].set(dev.msc[nxt])
+            out = out.at[:, 22:44].set(dev.isc[nxt])
+            out = out.at[:, 44:51].set(dev.trans[cur])
+            out = out.at[:, 51].set(dev.mme[nxt])
+            out = out.at[:, 52].set(dev.h[0, nxt])
+            out = out.at[:, 53].set(dev.h[1, cur])
+            out = out.at[:, 54].set(dev.h[2, nxt])
+            return out
 
-        m0, i0 = codon_tab(a, True)
-        m1, i1 = codon_tab(b, False)
         return DeviceHMM(
             msc=st(a.msc, b.msc),
             isc=st(a.isc, b.isc),
             trans=st(a.trans, b.trans),
             mme=st(a.mme, b.mme),
             h=st(a.h, b.h),
-            msc64=st(m0, m1),
-            isc64=st(i0, i1),
+            hsuper=jnp.concatenate([super_rows(a), super_rows(b)], axis=0),
         )
 
     @staticmethod
@@ -222,16 +291,16 @@ class DeviceHMM:
 
 @dataclass(frozen=True)
 class WavefrontConfig:
-    pool_size: int = 1 << 14
-    max_steps: int = 1 << 12
+    pool_size: int = 1 << 12
+    max_steps: int = 1 << 11
     prune_len: int = 20
     low_cov_penalty: float = 0.5
     expand_width: int = 1  # B: frontier nodes expanded per seed per step
-    # B>1 only: keep the top-cand_cap candidates by fval of the B*129
+    # B>1 only: keep the top-cand_cap candidates by fval of the B*(2W+1)
     # produced per step (0 = keep all). Typical valid counts are ~5 per
-    # expansion (dBG out-degree ~1), so a cap of ~2*129 is lossless in
-    # practice while making the pool grow ~B x slower (fewer compact sorts);
-    # drops are flagged via `overflow`.
+    # expansion (dBG out-degree ~1), so a cap of ~12*B is lossless in
+    # practice while making the pool grow ~10x slower (fewer compact
+    # sorts); any dropped VALID candidate is flagged via `overflow`.
     cand_cap: int = 0
     use_cache: bool = False  # cross-seed path-cache short-circuit (turbo)
     use_pallas: bool = False  # fused Pallas pool-selection kernel
@@ -241,35 +310,10 @@ class WavefrontConfig:
     dtype: object = jnp.float32
 
 
-# pool/trace field indices (SoA int32 / float arrays)
-# int fields: node_id, state_no, state(0=m 1=i 2=d), fval, neg_count, length,
-#             parent(trace idx), ne(packed codon)
+# start_ints field indices ([S, 8] int32 rows built by the runner) and trace
+# float fields — kept from v1 for interface stability
 NI_NODE, NI_STATE_NO, NI_STATE, NI_FVAL, NI_NEG, NI_LEN, NI_PARENT, NI_NE = range(8)
-# float fields: score, real_score, max_score
 NF_SCORE, NF_REAL, NF_MAX = range(3)
-
-_STATE_RANK = jnp.asarray([3, 2, 1], jnp.int32)  # m, i, d
-
-
-def _priority_keys(ints):
-    """(key1, key2) for lexicographic max selection."""
-    k1 = ints[..., NI_FVAL]
-    k2 = ((32767 - ints[..., NI_STATE_NO]) << 4) | _STATE_RANK[ints[..., NI_STATE]]
-    return k1, k2
-
-
-def _argmax_lex(k1, k2, alive):
-    """Index of the lexicographic max (k1, k2) among alive; ties -> lowest
-    index (heap order in the reference is unspecified for full ties)."""
-    k1m = jnp.where(alive, k1, INT_MIN32)
-    best1 = jnp.max(k1m, axis=-1, keepdims=True)
-    tie = (k1m == best1) & alive
-    k2m = jnp.where(tie, k2, INT_MIN32)
-    best2 = jnp.max(k2m, axis=-1, keepdims=True)
-    cand = tie & (k2m == best2)
-    idx = jnp.argmax(cand, axis=-1)
-    any_alive = jnp.any(alive, axis=-1)
-    return idx, any_alive
 
 
 def _exit_prob(length, dtype):
@@ -283,18 +327,31 @@ def build_aa64(forward: bool) -> np.ndarray:
 
 def _to_fval(x):
     # (int) cast clamped like the reference's x86 behavior (node_enumerator
-    # .h:173): out-of-range -> INT_MIN
-    ok = (x > INT_MIN32) & (x < 2**31 - 1)
-    return jnp.where(ok, x.astype(jnp.int32), INT_MIN32)
+    # .h:173): out-of-range -> INT_MIN. v2 stores INT_MIN as "dead slot", so
+    # the clamp floor is INT_MIN+2 (same relative order; ties among clamped
+    # values were already unspecified in the reference's heap).
+    ok = (x > INT_MIN32) & (x < INT_MAX32)
+    return jnp.where(ok, x.astype(jnp.int32), INT_MIN32 + 2)
+
+
+def _rank(state):
+    # priority rank m=3 > d=2 > i=1 (a_star_node.h:70-80)
+    return jnp.where(state == 0, 3, jnp.where(state == 2, 2, 1))
+
+
+def _k2(ibx):
+    """Tie-break key: min state_no, then state m > d > i."""
+    sno = (ibx >> 2) & 0xFFF
+    return ((4095 - sno) << 2) | _rank(ibx & 3)
 
 
 @partial(jax.jit, static_argnames=("maxc",))
-def extract_chains(trace_i, trace_f, start_idx, maxc: int):
+def extract_chains(tnode, tpack, tparent, treal, start_idx, maxc: int):
     """Walk parent pointers on device; return compact child->root chains.
 
     Replaces host-side traceback over the full trace arenas: on a tunneled
-    TPU the [R, T, 8] arena transfer dominates wall-clock, while the chains
-    the host actually needs are [R, maxc] (~30x smaller). Returns
+    TPU the arena transfer dominates wall-clock, while the chains the host
+    actually needs are [R, maxc] (~30x smaller). Returns
     (nodes [R, maxc] int32, packed [R, maxc] int32, reals [R, maxc]):
     packed = ne | state << 9 | state_no << 11, -1 marks past-end slots.
     Chain entry 0 is `start_idx` itself; the last valid entry is the root
@@ -304,25 +361,16 @@ def extract_chains(trace_i, trace_f, start_idx, maxc: int):
     def step(idx, _):
         valid = idx >= 0
         safe = jnp.maximum(idx, 0)
-        ints = jnp.take_along_axis(trace_i, safe[:, None, None], axis=1)[:, 0]
-        reals = jnp.take_along_axis(
-            trace_f[..., NF_REAL], safe[:, None], axis=1
-        )[:, 0]
-        node = jnp.where(valid, ints[:, NI_NODE], -1)
-        packed = (
-            ints[:, NI_NE]
-            | (ints[:, NI_STATE] << 9)
-            | (ints[:, NI_STATE_NO] << 11)
-        )
-        packed = jnp.where(valid, packed, -1)
-        parent = ints[:, NI_PARENT]
+        gather = lambda a: jnp.take_along_axis(a, safe[:, None], axis=1)[:, 0]  # noqa: E731
+        node = jnp.where(valid, gather(tnode), -1)
+        packed = jnp.where(valid, gather(tpack), -1)
+        reals = jnp.where(valid, gather(treal), 0.0)
+        parent = gather(tparent)
         # self-referencing records (e.g. zero-filled padding) terminate
         nxt = jnp.where(valid & (parent != idx), parent, -1)
-        return nxt, (node, packed, jnp.where(valid, reals, 0.0))
+        return nxt, (node, packed, reals)
 
-    _, (nodes, packed, reals) = jax.lax.scan(
-        step, start_idx, None, length=maxc
-    )
+    _, (nodes, packed, reals) = jax.lax.scan(step, start_idx, None, length=maxc)
     return (
         jnp.transpose(nodes),
         jnp.transpose(packed),
@@ -350,22 +398,32 @@ def wavefront_search_merged(
 
     Data-movement design: every step appends a full CAND-slot block at the
     SAME offset for all seeds (invalid slots are stored dead), and traces
-    the B selected nodes at slot 1 + step*B. All writes are therefore
-    dynamic_update_slice with scalar offsets — no scatters in the loop
-    (TPU scatters serialize and dominated earlier profiles at ~7 ms/step).
+    the B selected nodes at slot 1 + step*B. All pool writes are therefore
+    dynamic_update_slice with scalar offsets plus one full-width masked
+    fval rewrite (the identity kill) — no scatters in the loop.
     """
     S = start_ints.shape[0]
     P = config.pool_size
     B = config.expand_width
     dt = config.dtype
     L = model_length
-    CAND0 = B * 129
+    W = graph.W  # codon paths per row (64 raw, small in path-table mode)
+    CW = 2 * W + 1  # match paths + insert paths + delete
+    CAND0 = B * CW
     CAND = (
         min(config.cand_cap, CAND0)
         if (B > 1 and config.cand_cap > 0)
         else CAND0
     )
     T = config.max_steps * B + 1
+    BL = 128
+    NB = P // BL
+
+    assert P % BL == 0 and CAND < P, (P, CAND)
+    assert B <= NB, "expand_width must be <= pool_size/128"
+    assert L <= 4094, "model_length exceeds the 12-bit state_no packing"
+    assert config.prune_len <= 62, "prune_len exceeds the 6-bit neg packing"
+    assert T <= PARENT_MASK, "max_steps*B exceeds the 20-bit parent packing"
 
     aa64_2 = jnp.stack(
         [jnp.asarray(build_aa64(True)), jnp.asarray(build_aa64(False))]
@@ -378,18 +436,50 @@ def wavefront_search_merged(
     c3 = jnp.arange(64, dtype=jnp.int32) % 4
     ne64 = (c1 << 6) | (c2 << 3) | c3
 
-    pool_i = jnp.zeros((S, P, 8), jnp.int32)
-    pool_f = jnp.full((S, P, 3), 0.0, dt)
-    alive = jnp.zeros((S, P), bool)
+    # ---- pool state (separate field arrays; fval INT_MIN = dead/empty)
+    fval = jnp.full((S, P), INT_MIN32, jnp.int32)
+    ia = jnp.zeros((S, P), jnp.int32)
+    ibx = jnp.zeros((S, P), jnp.int32)
+    lpx = jnp.zeros((S, P), jnp.int32)
+    fsc = jnp.zeros((S, P), dt)
+    fre = jnp.zeros((S, P), dt)
+    fmx = jnp.zeros((S, P), dt)
+
+    def pack_ibx(state, state_no, neg, ne):
+        return (
+            state
+            | (state_no << 2)
+            | (jnp.minimum(neg, 63) << NEG_SHIFT)
+            | (ne << NE_SHIFT)
+        )
+
+    def pack_lpx(parent, length):
+        return (parent + 1) | (jnp.minimum(length, 2047) << LEN_SHIFT)
 
     # seed pool with the start nodes at slot 0
-    pool_i = pool_i.at[:, 0, :].set(start_ints)
-    pool_f = pool_f.at[:, 0, :].set(start_floats)
-    alive = alive.at[:, 0].set(start_ints[:, NI_NODE] >= 0)
+    s_node = start_ints[:, NI_NODE]
+    s_sno = start_ints[:, NI_STATE_NO]
+    s_state = start_ints[:, NI_STATE]
+    s_ibx = pack_ibx(s_state, s_sno, start_ints[:, NI_NEG], start_ints[:, NI_NE])
+    s_lpx = pack_lpx(start_ints[:, NI_PARENT], start_ints[:, NI_LEN])
+    has_start = s_node >= 0
+    fval = fval.at[:, 0].set(
+        jnp.where(has_start, jnp.maximum(start_ints[:, NI_FVAL], INT_MIN32 + 2),
+                  INT_MIN32)
+    )
+    ia = ia.at[:, 0].set(s_node)
+    ibx = ibx.at[:, 0].set(s_ibx)
+    lpx = lpx.at[:, 0].set(s_lpx)
+    fsc = fsc.at[:, 0].set(start_floats[:, NF_SCORE])
+    fre = fre.at[:, 0].set(start_floats[:, NF_REAL])
+    fmx = fmx.at[:, 0].set(start_floats[:, NF_MAX])
     next_free = jnp.ones((), jnp.int32)  # shared by all seeds (see above)
 
-    trace_i = jnp.zeros((S, T, 8), jnp.int32)
-    trace_f = jnp.zeros((S, T, 3), dt)
+    # ---- trace arenas (one record per selected node per step)
+    tnode = jnp.zeros((S, T), jnp.int32)
+    tpack = jnp.zeros((S, T), jnp.int32)
+    tparent = jnp.zeros((S, T), jnp.int32)
+    treal = jnp.zeros((S, T), dt)
     trace_len = jnp.zeros((S,), jnp.int32)
 
     active = jnp.ones((S,), bool)
@@ -404,24 +494,85 @@ def wavefront_search_merged(
     cached_at = jnp.full((S,), -1, jnp.int32)  # trace pos of the hit node
 
     # immediate goal: start already past the model end (hmm_graph_search.h:193)
-    start_is_goal = start_ints[:, NI_STATE_NO] >= L
+    start_is_goal = s_sno >= L
 
-    def expand(ints, floats, parent_idx, skip_prune):
-        """All 129 successor candidates per input node.
+    def select_lex(fval, ibx, active):
+        """Exact lexicographic (fval, -state_no, state-rank) argmax; ties ->
+        lowest index (heap order in the reference is unspecified for full
+        ties). Hierarchical: block maxima first, so only fval+ibx are read."""
+        fvm = jnp.where(active[:, None], fval, INT_MIN32)
+        blk = fvm.reshape(S, NB, BL)
+        k2b = _k2(ibx).reshape(S, NB, BL)
+        m1 = blk.max(-1)  # [S, NB]
+        best1 = m1.max(-1, keepdims=True)  # [S, 1]
+        k2m = jnp.where(blk == best1[..., None], k2b, INT_MIN32)
+        m2 = k2m.max(-1)  # [S, NB]
+        best2 = m2.max(-1, keepdims=True)
+        elig = (m1 == best1) & (m2 == best2)
+        bidx = jnp.argmax(elig, axis=-1)  # first eligible block
+        fblk = jnp.take_along_axis(blk, bidx[:, None, None], axis=1)[:, 0]
+        kblk = jnp.take_along_axis(k2b, bidx[:, None, None], axis=1)[:, 0]
+        # best2 entries within a best1 block: both conditions
+        hit = (fblk == best1) & (kblk == best2)
+        off = jnp.argmax(hit, axis=-1).astype(jnp.int32)
+        sel1 = bidx.astype(jnp.int32) * BL + off
+        any_alive = best1[:, 0] > INT_MIN32
+        return sel1, any_alive
 
-        ints [N, 8], floats [N, 3], parent_idx [N] -> ([N, 129, 8],
-        [N, 129, 3], [N, 129] valid). N = S * B.
+    def select_topB(fval, ibx, active):
+        """Exact top-B frontier by fval among non-goal entries. Any global
+        top-B entry lives in a block whose max >= the B-th best value, and
+        <= B-1 blocks can beat that value, so the top-B blocks (by max)
+        contain all top-B entries. Within the gathered blocks an iterative
+        argmax replaces lax.top_k (which lowers to a full sort at this
+        width on TPU) and the block-offset lookup is a B-way select (an
+        elementwise gather would cost ~0.5 ms)."""
+        sno = (ibx >> 2) & 0xFFF
+        nk1 = jnp.where(active[:, None] & (sno < L), fval, INT_MIN32)
+        nb = nk1.reshape(S, NB, BL)
+        bm = nb.max(-1)  # [S, NB]
+        _, bsel = jax.lax.top_k(bm, B)  # [S, B] (small width NB)
+        bsel = bsel.astype(jnp.int32)
+        cand = jnp.take_along_axis(nb, bsel[..., None], axis=1).reshape(S, B * BL)
+        lane = jnp.arange(B * BL, dtype=jnp.int32)[None, :]
+        sels, vals = [], []
+        cur = cand
+        for _ in range(B):
+            vals.append(cur.max(-1))
+            i = jnp.argmax(cur, axis=-1).astype(jnp.int32)
+            sels.append(i)
+            cur = jnp.where(lane == i[:, None], INT_MIN32, cur)
+        ci = jnp.stack(sels, -1)  # [S, B]
+        topv = jnp.stack(vals, -1)
+        div = ci // BL
+        blkof = jnp.zeros_like(ci)
+        for b in range(B):
+            blkof = jnp.where(div == b, bsel[:, b : b + 1], blkof)
+        sel = blkof * BL + (ci % BL)
+        return sel, topv
+
+    def expand(node, state, state_no, neg, length, score, real, mx,
+               parent_idx, ndir, skip_prune):
+        """All 2W+1 successor candidates per input node (node_enumerator
+        .h:65). inputs [N] -> packed candidate fields [N, 2W+1] + valid.
+        N = S * B. Per node this costs ONE graph-row gather + ONE fused
+        scoring-row fetch (hsuper one-hot matmul); everything else is
+        fused elementwise math.
         """
-        N = ints.shape[0]
-        node = ints[:, NI_NODE]
-        state = ints[:, NI_STATE]
-        state_no = ints[:, NI_STATE_NO]
+        N = node.shape[0]
         next_state = jnp.minimum(state_no + 1, L)
-        ndir = jnp.repeat(dirs, N // S, total_repeat_length=N)  # [N]
-        aa64 = aa64_2[ndir]  # [N, 64]
-        not_stop = aa64 != AA_STOP
+        cur_state = jnp.minimum(state_no, L)
 
-        t = hmm.trans[ndir, jnp.minimum(state_no, L)]  # [N, 7]
+        # fused scoring row (exact one-hot matmul; see DeviceHMM.hsuper)
+        comb = ndir * (L + 1) + cur_state  # [N]
+        onehot = (
+            comb[:, None] == jnp.arange(2 * (L + 1), dtype=jnp.int32)[None, :]
+        ).astype(dt)
+        hrow = onehot @ hmm.hsuper  # [N, 64]
+        t = hrow[:, 44:51]
+        mme = hrow[:, 51]
+        h_m, h_i, h_d = hrow[:, 52], hrow[:, 53], hrow[:, 54]
+
         match_tr = jnp.select(
             [state == 0, state == 1, state == 2],
             [t[:, MM], t[:, IM], t[:, DM]],
@@ -434,79 +585,81 @@ def wavefront_search_merged(
             [state == 0, state == 1, state == 2],
             [t[:, MD], jnp.full_like(t[:, MD], NEG), t[:, DD]],
         )
-        mme = hmm.mme[ndir, next_state]  # [N]
 
-        # 3-hop codon gather
+        # codon paths: one row gather (path tables) or the raw 3-hop walk
         safe_node = jnp.clip(node, 0, graph.num_rows - 1)
-        if graph.succ3 is not None:
-            # precomputed hop tables: one coalesced row gather
-            l3 = graph.succ3[safe_node]  # [N, 64]
-            fl = graph.flags3[safe_node]
-            v3 = ((fl & 1) != 0) & (node >= 0)[:, None]
-            low_cov = jnp.where((fl & 2) != 0, low_cov_pen, 0.0)
+        if graph.pt is not None:
+            row = graph.pt[safe_node]  # [N, W, 2]
+            tgt = row[..., 0]
+            w1 = row[..., 1]
+            v3 = (((w1 >> 19) & 1) != 0) & (node >= 0)[:, None]
+            low_cov = jnp.where(
+                ((w1 >> 20) & 1) != 0, low_cov_pen, jnp.asarray(0.0, dt)
+            )
+            aa = jnp.where((ndir == 0)[:, None], w1 & 31, (w1 >> 5) & 31)
+            ne_p = (w1 >> 10) & 0x1FF
         else:
             l1 = graph.succ[safe_node]  # [N, 4]
             v1 = ~graph.invalid[l1]
             l2 = graph.succ[l1].reshape(N, 16)
             v2 = ~graph.invalid[l2] & jnp.repeat(v1, 4, axis=1)
-            l3 = graph.succ[l2].reshape(N, 64)
-            v3 = ~graph.invalid[l3] & jnp.repeat(v2, 4, axis=1)
+            tgt = graph.succ[l2].reshape(N, 64)
+            v3 = ~graph.invalid[tgt] & jnp.repeat(v2, 4, axis=1)
             v3 = v3 & (node >= 0)[:, None] & ~graph.invalid[safe_node][:, None]
 
             m1 = graph.is_multi1[jnp.repeat(l1, 16, axis=1)]
             m2 = graph.is_multi1[jnp.repeat(l2, 4, axis=1)]
-            m3 = graph.is_multi1[l3]
+            m3 = graph.is_multi1[tgt]
             low_cov = jnp.where(m1 & m2 & m3, low_cov_pen, 0.0)
+            aa = jnp.where(
+                (ndir == 0)[:, None], aa64_2[0][None, :], aa64_2[1][None, :]
+            )
+            ne_p = jnp.broadcast_to(ne64[None, :], (N, 64))
+        not_stop = aa != AA_STOP
 
-        # codon-indexed row gathers (msc64[d, s, c] == msc[d, s, aa64_2[d, c]]
-        # by construction in DeviceHMM.stack): one coalesced 256 B row per
-        # candidate instead of a 64-element scattered gather — elementwise
-        # gathers measured ~8 us/1k elements on v5e vs ~free row gathers
-        msc = hmm.msc64[ndir, next_state]  # [N, 64]
-        isc = hmm.isc64[ndir, next_state]
+        # per-path emissions: 22-way fused select from the scoring row (an
+        # elementwise [N, W] gather would serialize on TPU)
+        msc = jnp.zeros((N, W), dt)
+        isc = jnp.zeros((N, W), dt)
+        for a_ in range(22):
+            hit = aa == a_
+            msc = jnp.where(hit, hrow[:, a_][:, None], msc)
+            isc = jnp.where(hit, hrow[:, 22 + a_][:, None], isc)
 
-        score = floats[:, NF_SCORE][:, None]
-        real = floats[:, NF_REAL][:, None]
-        mx = floats[:, NF_MAX][:, None]
+        score = score[:, None]
+        real = real[:, None]
+        mx = mx[:, None]
 
-        # ---- match candidates (slots 0..63)
+        # ---- match candidates (slots 0..W-1)
         m_real = real + match_tr[:, None] + msc - low_cov
         m_improved = m_real >= mx
         m_max = jnp.where(m_improved, m_real, mx)
-        m_neg = jnp.where(m_improved, 0, ints[:, NI_NEG][:, None] + 1)
+        m_neg = jnp.where(m_improved, 0, neg[:, None] + 1)
         m_score = score + match_tr[:, None] + msc - low_cov - mme[:, None]
-        m_fval = _to_fval(SCALE * (m_score + HWEIGHT * hmm.h[ndir, 0, next_state][:, None]))
+        m_fval = _to_fval(SCALE * (m_score + HWEIGHT * h_m[:, None]))
         m_valid = v3 & not_stop
 
-        # ---- insert candidates (slots 64..127); forbidden from 'd'
+        # ---- insert candidates (slots W..2W-1); forbidden from 'd'
         i_real = real + ins_tr[:, None] + isc - low_cov
         i_score = score + ins_tr[:, None] + isc - low_cov
-        i_fval = _to_fval(
-            SCALE
-            * (i_score + HWEIGHT * hmm.h[ndir, 1, jnp.minimum(state_no, L)][:, None])
-        )
+        i_fval = _to_fval(SCALE * (i_score + HWEIGHT * h_i[:, None]))
         i_valid = m_valid & (state != 2)[:, None]
 
-        # ---- delete candidate (slot 128); forbidden from 'i'
+        # ---- delete candidate (slot 2W); forbidden from 'i'
         d_real = real[:, 0] + del_tr
         d_score = score[:, 0] + del_tr - mme
-        d_fval = _to_fval(SCALE * (d_score + HWEIGHT * hmm.h[ndir, 2, next_state]))
+        d_fval = _to_fval(SCALE * (d_score + HWEIGHT * h_d))
         d_valid = (state != 1) & (node >= 0)
 
-        cand_node = jnp.concatenate([l3, l3, safe_node[:, None]], axis=1)
+        cand_node = jnp.concatenate([tgt, tgt, safe_node[:, None]], axis=1)
+        nxt_b = jnp.broadcast_to(next_state[:, None], (N, W))
+        sno_b = jnp.broadcast_to(state_no[:, None], (N, W))
+        cand_state_no = jnp.concatenate([nxt_b, sno_b, next_state[:, None]], axis=1)
         cand_state = jnp.concatenate(
             [
-                jnp.zeros((N, 64), jnp.int32),
-                jnp.ones((N, 64), jnp.int32),
+                jnp.zeros((N, W), jnp.int32),
+                jnp.ones((N, W), jnp.int32),
                 jnp.full((N, 1), 2, jnp.int32),
-            ],
-            axis=1,
-        )
-        cand_state_no = jnp.concatenate(
-            [
-                jnp.broadcast_to(next_state[:, None], (N, 64)),
-                jnp.broadcast_to(state_no[:, None], (N, 64)),
-                next_state[:, None],
             ],
             axis=1,
         )
@@ -514,30 +667,26 @@ def wavefront_search_merged(
         cand_neg = jnp.concatenate(
             [
                 m_neg,
-                ints[:, NI_NEG][:, None] + jnp.ones((N, 64), jnp.int32),
-                ints[:, NI_NEG][:, None] + 1,
+                neg[:, None] + jnp.ones((N, W), jnp.int32),
+                neg[:, None] + 1,
             ],
             axis=1,
         )
         cand_len = jnp.concatenate(
             [
-                jnp.broadcast_to((ints[:, NI_LEN] + 1)[:, None], (N, 128)),
-                ints[:, NI_LEN][:, None],
+                jnp.broadcast_to((length + 1)[:, None], (N, 2 * W)),
+                length[:, None],
             ],
             axis=1,
         )
         cand_ne = jnp.concatenate(
-            [
-                jnp.broadcast_to(ne64[None, :], (N, 64)),
-                jnp.broadcast_to(ne64[None, :], (N, 64)),
-                jnp.full((N, 1), (4 << 6) | (4 << 3) | 4, jnp.int32),
-            ],
+            [ne_p, ne_p, jnp.full((N, 1), (4 << 6) | (4 << 3) | 4, jnp.int32)],
             axis=1,
         )
         cand_score = jnp.concatenate([m_score, i_score, d_score[:, None]], axis=1)
         cand_real = jnp.concatenate([m_real, i_real, d_real[:, None]], axis=1)
         cand_max = jnp.concatenate(
-            [m_max, jnp.broadcast_to(mx, (N, 64)), mx], axis=1
+            [m_max, jnp.broadcast_to(mx, (N, W)), mx], axis=1
         )
         valid = jnp.concatenate([m_valid, i_valid, d_valid[:, None]], axis=1)
 
@@ -549,21 +698,11 @@ def wavefront_search_merged(
             )
             valid = valid & (keep | skip_prune)
 
-        ci = jnp.stack(
-            [
-                cand_node,
-                cand_state_no,
-                cand_state,
-                cand_fval,
-                cand_neg,
-                cand_len,
-                jnp.broadcast_to(parent_idx[:, None], (N, 129)),
-                cand_ne,
-            ],
-            axis=-1,
+        c_ibx = pack_ibx(cand_state, cand_state_no, cand_neg, cand_ne)
+        c_lpx = pack_lpx(
+            jnp.broadcast_to(parent_idx[:, None], (N, CW)), cand_len
         )
-        cf = jnp.stack([cand_score, cand_real, cand_max], axis=-1)
-        return ci, cf, valid
+        return cand_fval, cand_node, c_ibx, c_lpx, cand_score, cand_real, cand_max, valid
 
     def probe_cache(ids_a, ids_b):
         """4-probe open-address lookup of identities; -1 on miss.
@@ -587,102 +726,105 @@ def wavefront_search_merged(
             val = jnp.where((val < 0) & hit, cache_val[dirs, idx], val)
         return val
 
-    def compact(state):
-        """Squeeze alive entries (best priority first) to the row fronts.
+    def compact(carry):
+        """Squeeze alive entries (best fval first) to the row fronts.
 
-        The payload rides through one multi-operand lax.sort — TPU sorts are
-        fast (~0.2 ms at [128,16K]) while take_along_axis row gathers of the
-        pool cost ~100x more, so permute-by-gather is avoided entirely.
-        Entries beyond the append headroom are evicted worst-first (rare;
-        flagged per seed via `overflow`).
-        """
-        pool_i, pool_f, alive, next_free, overflow = state
-        k1, _ = _priority_keys(pool_i)
-        k1c = jnp.maximum(k1, INT_MIN32 + 2)
-        key = jnp.where(alive, -k1c, 2**31 - 1)
-        ops = (
-            key,
-            alive,
-            *(pool_i[..., j] for j in range(8)),
-            *(pool_f[..., j] for j in range(3)),
+        The payload rides through one multi-operand lax.sort — TPU sorts
+        beat permute-by-gather here (elementwise row gathers of the pool
+        are ~100x slower than the sort itself). Entries beyond the append
+        headroom are evicted worst-first (rare; flagged per seed via
+        `overflow`)."""
+        (
+            fval, ia, ibx, lpx, fsc, fre, fmx,
+            tnode, tpack, tparent, treal, trace_len,
+            active, done_partial, goal_idx, inter_idx, inter_val, overflow,
+            expansions, cached_entry, cached_at, next_free, step,
+        ) = carry
+        key = jnp.where(fval > INT_MIN32, -fval, INT_MAX32)
+        s = jax.lax.sort(
+            (key, ia, ibx, lpx, fsc, fre, fmx),
+            dimension=1, num_keys=1, is_stable=True,
         )
-        sorted_ops = jax.lax.sort(ops, dimension=1, num_keys=1, is_stable=True)
-        alive = sorted_ops[1]
-        pool_i = jnp.stack(sorted_ops[2:10], axis=-1)
-        pool_f = jnp.stack(sorted_ops[10:13], axis=-1)
-        counts = alive.sum(axis=-1).astype(jnp.int32)
-        over = counts > P - CAND
-        overflow = overflow | over
-        alive = alive & (jnp.arange(P)[None, :] < P - CAND)
-        nf = jnp.minimum(jnp.max(counts), P - CAND)
-        return pool_i, pool_f, alive, nf, overflow
+        key, ia, ibx, lpx, fsc, fre, fmx = s
+        alive_s = key != INT_MAX32
+        counts = alive_s.sum(axis=-1).astype(jnp.int32)
+        overflow = overflow | (counts > P - CAND)
+        keep = jnp.arange(P, dtype=jnp.int32)[None, :] < P - CAND
+        fval = jnp.where(alive_s & keep, -key, INT_MIN32)
+        next_free = jnp.minimum(jnp.max(counts), P - CAND)
+        return (
+            fval, ia, ibx, lpx, fsc, fre, fmx,
+            tnode, tpack, tparent, treal, trace_len,
+            active, done_partial, goal_idx, inter_idx, inter_val, overflow,
+            expansions, cached_entry, cached_at, next_free, step,
+        )
 
     def body(carry):
         (
-            pool_i, pool_f, alive, next_free, trace_i, trace_f, trace_len,
+            fval, ia, ibx, lpx, fsc, fre, fmx,
+            tnode, tpack, tparent, treal, trace_len,
             active, done_partial, goal_idx, inter_idx, inter_val, overflow,
-            expansions, cached_entry, cached_at, step,
+            expansions, cached_entry, cached_at, next_free, step,
         ) = carry
 
-        alive_act = alive & active[:, None]
         if config.use_pallas:
-            from ..ops.pallas.pool_select import pool_select
+            from ..ops.pallas.step_select import step_select_kill
 
-            sel1, any_alive = pool_select(
-                pool_i, alive_act, interpret=jax.default_backend() != "tpu"
+            (
+                fval, _sel, sel_valid, any_alive, is_goal,
+                ia_s, ibx_s, lpx_s, sc_s, re_s, mx_s,
+            ) = step_select_kill(
+                fval, ia, ibx, lpx, fsc, fre, fmx, active,
+                B, L, interpret=jax.default_backend() != "tpu",
             )
-            k1, _ = _priority_keys(pool_i)
+            newly_exhausted = active & ~any_alive
+            done_partial = done_partial | newly_exhausted
+            active = active & any_alive
         else:
-            k1, k2 = _priority_keys(pool_i)
-            sel1, any_alive = _argmax_lex(k1, k2, alive_act)
-        newly_exhausted = active & ~any_alive
-        done_partial = done_partial | newly_exhausted
-        active = active & any_alive
+            sel1, any_alive = select_lex(fval, ibx, active)
+            newly_exhausted = active & ~any_alive
+            done_partial = done_partial | newly_exhausted
+            active = active & any_alive
 
-        top1_i = jnp.take_along_axis(pool_i, sel1[:, None, None], axis=1)[:, 0]
-        is_goal = active & (top1_i[:, NI_STATE_NO] >= L)
+            ibx1 = jnp.take_along_axis(ibx, sel1[:, None], axis=1)[:, 0]
+            is_goal = active & (((ibx1 >> 2) & 0xFFF) >= L)
 
-        # ---- frontier selection: [S, B] slots
-        if B == 1:
-            sel = sel1[:, None]
-            sel_valid = active[:, None]
-        else:
-            nk1 = jnp.where(
-                alive_act & (pool_i[..., NI_STATE_NO] < L), k1, INT_MIN32
-            )
-            # approx_max_k: TPU-native tiled selection (exact top_k lowers
-            # to a full sort per step). Turbo-mode selection only needs a
-            # high-recall top-B; goal acceptance stays exact via sel1.
-            fk1 = nk1.astype(jnp.float32)
-            _, sel = jax.lax.approx_max_k(fk1, B, recall_target=0.95)
-            topv = jnp.take_along_axis(nk1, sel, axis=1)
-            sel_valid = (topv > INT_MIN32) & active[:, None]
-            # on goal acceptance only the goal itself is consumed
-            sel = jnp.where(is_goal[:, None], sel1[:, None], sel)
-            sel_valid = jnp.where(
-                is_goal[:, None],
-                jnp.arange(B)[None, :] == 0,
-                sel_valid,
-            ) & active[:, None]
-        # goal slot: when accepted, slot 0 carries the goal node
-        sel = jnp.where(is_goal[:, None] & (jnp.arange(B)[None, :] == 0),
-                        sel1[:, None], sel)
+            # ---- frontier selection: [S, B] slots
+            if B == 1:
+                sel = sel1[:, None]
+                sel_valid = active[:, None]
+            else:
+                sel, topv = select_topB(fval, ibx, active)
+                sel_valid = (topv > INT_MIN32) & active[:, None]
+                # on goal acceptance only the goal itself is consumed
+                sel = jnp.where(is_goal[:, None], sel1[:, None], sel)
+                sel_valid = jnp.where(
+                    is_goal[:, None],
+                    jnp.arange(B)[None, :] == 0,
+                    sel_valid,
+                ) & active[:, None]
+            # goal slot: when accepted, slot 0 carries the goal node
+            sel = jnp.where(is_goal[:, None] & (jnp.arange(B)[None, :] == 0),
+                            sel1[:, None], sel)
 
-        sel_i = jnp.take_along_axis(pool_i, sel[..., None], axis=1)  # [S,B,8]
-        sel_f = jnp.take_along_axis(pool_f, sel[..., None], axis=1)
+            taa = lambda a: jnp.take_along_axis(a, sel, axis=1)  # noqa: E731
+            ia_s = taa(ia)  # [S, B]
+            ibx_s = taa(ibx)
+            lpx_s = taa(lpx)
+            sc_s = taa(fsc)
+            re_s = taa(fre)
+            mx_s = taa(fmx)
 
-        # ---- closed-kill: every pool entry matching an expanded identity.
-        # identities packed into one int32 pair for a broadcast compare
-        def ident(ints):
-            a = ints[..., NI_NODE]
-            b2 = (ints[..., NI_STATE_NO] << 2) | ints[..., NI_STATE]
-            return a, b2
-
-        pa, pb = ident(pool_i)  # [S, P+1]
-        sa, sb = ident(sel_i)  # [S, B]
-        same = (pa[:, :, None] == sa[:, None, :]) & (pb[:, :, None] == sb[:, None, :])
-        kill = jnp.any(same & sel_valid[:, None, :], axis=-1)
-        alive = alive & ~kill
+            # ---- closed-kill: every pool entry matching an expanded
+            # identity (one fused masked rewrite of fval; reads ia+ibx once)
+            dead = jnp.zeros((S, P), bool)
+            for b in range(B):
+                dead = dead | (
+                    (ia == ia_s[:, b : b + 1])
+                    & ((ibx & IDENT_MASK) == (ibx_s[:, b : b + 1] & IDENT_MASK))
+                    & sel_valid[:, b : b + 1]
+                )
+            fval = jnp.where(dead, INT_MIN32, fval)
 
         # ---- trace append at the step's fixed block (scatter-free)
         tpos = 1 + step * B  # slot 0 = start node
@@ -691,12 +833,20 @@ def wavefront_search_merged(
         )
         write_ok = sel_valid
         zero = jnp.zeros((), jnp.int32)
-        trace_i = jax.lax.dynamic_update_slice(trace_i, sel_i, (zero, tpos, zero))
-        trace_f = jax.lax.dynamic_update_slice(trace_f, sel_f, (zero, tpos, zero))
+        s_sno = (ibx_s >> 2) & 0xFFF
+        s_state = ibx_s & 3
+        s_ne = (ibx_s >> NE_SHIFT) & 0x1FF
+        s_len = lpx_s >> LEN_SHIFT
+        pk = s_ne | (s_state << 9) | (s_sno << 11)
+        dus = lambda a, blk: jax.lax.dynamic_update_slice(a, blk, (zero, tpos))  # noqa: E731
+        tnode = dus(tnode, ia_s)
+        tpack = dus(tpack, pk)
+        tparent = dus(tparent, (lpx_s & PARENT_MASK) - 1)
+        treal = dus(treal, re_s)
         trace_len = trace_len + sel_valid.sum(axis=1, dtype=jnp.int32)
 
         # ---- inter-goal update (hmm_graph_search.h:274-277)
-        ev = sel_f[..., NF_REAL] + _exit_prob(sel_i[..., NI_LEN], dt)
+        ev = re_s + _exit_prob(s_len, dt)
         ev = jnp.where(write_ok, ev, NEG)
         best_b = jnp.argmax(ev, axis=1)
         best_ev = jnp.take_along_axis(ev, best_b[:, None], axis=1)[:, 0]
@@ -713,10 +863,7 @@ def wavefront_search_merged(
 
         # ---- path-cache short-circuit on the rank-1 frontier node
         if config.use_cache:
-            hit_val = probe_cache(
-                sel_i[:, 0, NI_NODE],
-                (sel_i[:, 0, NI_STATE_NO] << 2) | sel_i[:, 0, NI_STATE],
-            )
+            hit_val = probe_cache(ia_s[:, 0], ibx_s[:, 0] & IDENT_MASK)
             hit = active & sel_valid[:, 0] & (hit_val >= 0)
             cached_entry = jnp.where(hit, hit_val, cached_entry)
             cached_at = jnp.where(hit, slot_pos_c[:, 0], cached_at)
@@ -724,65 +871,94 @@ def wavefront_search_merged(
 
         # ---- expand
         expand_mask = sel_valid & ~is_goal[:, None] & active[:, None]
-        ci, cf, cvalid = expand(
-            sel_i.reshape(S * B, 8),
-            sel_f.reshape(S * B, 3),
+        ndir = jnp.repeat(dirs, B, total_repeat_length=S * B)
+        c_fval, c_ia, c_ibx, c_lpx, c_sc, c_re, c_mx, cvalid = expand(
+            ia_s.reshape(S * B),
+            s_state.reshape(S * B),
+            s_sno.reshape(S * B),
+            ((ibx_s >> NEG_SHIFT) & 63).reshape(S * B),
+            s_len.reshape(S * B),
+            sc_s.reshape(S * B),
+            re_s.reshape(S * B),
+            mx_s.reshape(S * B),
             slot_pos_c.reshape(S * B),
+            ndir,
             step == 0,
         )
         cvalid = cvalid & expand_mask.reshape(S * B)[:, None]
-        ci = ci.reshape(S, CAND0, 8)
-        cf = cf.reshape(S, CAND0, 3)
+        c_fval = c_fval.reshape(S, CAND0)
+        c_ia = c_ia.reshape(S, CAND0)
+        c_ibx = c_ibx.reshape(S, CAND0)
+        c_lpx = c_lpx.reshape(S, CAND0)
+        c_sc = c_sc.reshape(S, CAND0)
+        c_re = c_re.reshape(S, CAND0)
+        c_mx = c_mx.reshape(S, CAND0)
         cvalid = cvalid.reshape(S, CAND0)
         expansions = expansions + cvalid.sum(dtype=jnp.int32)
 
         # ---- candidate compression (turbo): keep top-CAND by fval so the
-        # pool grows ~B x slower between compact sorts
+        # pool grows ~CAND0/CAND x slower between compact sorts
         if CAND < CAND0:
-            ckey = jnp.where(cvalid, ci[..., NI_FVAL], INT_MIN32).astype(
-                jnp.float32
-            )
-            _, keep = jax.lax.approx_max_k(ckey, CAND, recall_target=0.99)
-            overflow = overflow | (
-                cvalid.sum(axis=1, dtype=jnp.int32) > CAND
-            )
-            kept_key = jnp.take_along_axis(ckey, keep, axis=1)
-            ci = jnp.take_along_axis(ci, keep[..., None], axis=1)
-            cf = jnp.take_along_axis(cf, keep[..., None], axis=1)
-            cvalid = jnp.take_along_axis(cvalid, keep, axis=1) & (
-                kept_key > INT_MIN32
-            )
-
-        # ---- compact pool when needed
-        need = next_free + CAND > P
-        pool_i, pool_f, alive, next_free, overflow = jax.lax.cond(
-            need,
-            compact,
-            lambda s: s,
-            (pool_i, pool_f, alive, next_free, overflow),
-        )
+            vc = cvalid.sum(axis=1, dtype=jnp.int32)
+            ckey = jnp.where(cvalid, c_fval, INT_MIN32).astype(jnp.float32)
+            _, keepi = jax.lax.approx_max_k(ckey, CAND, recall_target=0.99)
+            take = lambda a: jnp.take_along_axis(a, keepi, axis=1)  # noqa: E731
+            cvalid = take(cvalid) & (take(ckey) > INT_MIN32)
+            # drop detection (covers both count overflow and approximation
+            # misses): fewer valid survivors than min(valid, CAND) means a
+            # valid candidate was dropped
+            kv = cvalid.sum(axis=1, dtype=jnp.int32)
+            overflow = overflow | (kv < jnp.minimum(vc, CAND))
+            c_fval, c_ia, c_ibx, c_lpx = take(c_fval), take(c_ia), take(c_ibx), take(c_lpx)
+            c_sc, c_re, c_mx = take(c_sc), take(c_re), take(c_mx)
 
         # ---- append the whole candidate block at one shared offset
-        zero2 = jnp.zeros((), jnp.int32)
-        pool_i = jax.lax.dynamic_update_slice(pool_i, ci, (zero2, next_free, zero2))
-        pool_f = jax.lax.dynamic_update_slice(pool_f, cf, (zero2, next_free, zero2))
-        alive = jax.lax.dynamic_update_slice(alive, cvalid, (zero2, next_free))
+        c_fval = jnp.where(cvalid, jnp.maximum(c_fval, INT_MIN32 + 2), INT_MIN32)
+        dus2 = lambda a, blk: jax.lax.dynamic_update_slice(a, blk, (zero, next_free))  # noqa: E731
+        fval = dus2(fval, c_fval)
+        ia = dus2(ia, c_ia)
+        ibx = dus2(ibx, c_ibx)
+        lpx = dus2(lpx, c_lpx)
+        fsc = dus2(fsc, c_sc)
+        fre = dus2(fre, c_re)
+        fmx = dus2(fmx, c_mx)
         next_free = next_free + CAND
 
         return (
-            pool_i, pool_f, alive, next_free, trace_i, trace_f, trace_len,
+            fval, ia, ibx, lpx, fsc, fre, fmx,
+            tnode, tpack, tparent, treal, trace_len,
             active, done_partial, goal_idx, inter_idx, inter_val, overflow,
-            expansions, cached_entry, cached_at, step + 1,
+            expansions, cached_entry, cached_at, next_free, step + 1,
         )
 
-    def cond(carry):
-        active = carry[7]
+    def inner_cond(carry):
+        active = carry[12]
+        next_free = carry[-2]
+        step = carry[-1]
+        return (
+            jnp.any(active)
+            & (step < config.max_steps)
+            & (next_free + CAND <= P)
+        )
+
+    def outer_body(carry):
+        carry = jax.lax.while_loop(inner_cond, body, carry)
+        return compact(carry)
+
+    def outer_cond(carry):
+        active = carry[12]
         step = carry[-1]
         return jnp.any(active) & (step < config.max_steps)
 
     # handle immediate-goal seeds: record start as trace[0]
-    trace_i = trace_i.at[:, 0, :].set(start_ints)
-    trace_f = trace_f.at[:, 0, :].set(start_floats)
+    tnode = tnode.at[:, 0].set(s_node)
+    tpack = tpack.at[:, 0].set(
+        start_ints[:, NI_NE]
+        | (s_state << 9)
+        | (s_sno << 11)
+    )
+    tparent = tparent.at[:, 0].set(start_ints[:, NI_PARENT])
+    treal = treal.at[:, 0].set(start_floats[:, NF_REAL])
     trace_len = jnp.where(start_is_goal, 1, trace_len)
     goal_idx = jnp.where(start_is_goal, 0, goal_idx)
     active = active & ~start_is_goal
@@ -800,20 +976,25 @@ def wavefront_search_merged(
         cache_val = jnp.full((2, 8), -1, jnp.int32)
 
     carry = (
-        pool_i, pool_f, alive, next_free, trace_i, trace_f, trace_len,
+        fval, ia, ibx, lpx, fsc, fre, fmx,
+        tnode, tpack, tparent, treal, trace_len,
         active, done_partial, goal_idx, inter_idx, inter_val, overflow,
-        expansions, cached_entry, cached_at, jnp.zeros((), jnp.int32),
+        expansions, cached_entry, cached_at, next_free,
+        jnp.zeros((), jnp.int32),
     )
-    carry = jax.lax.while_loop(cond, body, carry)
+    carry = jax.lax.while_loop(outer_cond, outer_body, carry)
     (
-        pool_i, pool_f, alive, next_free, trace_i, trace_f, trace_len,
+        fval, ia, ibx, lpx, fsc, fre, fmx,
+        tnode, tpack, tparent, treal, trace_len,
         active, done_partial, goal_idx, inter_idx, inter_val, overflow,
-        expansions, cached_entry, cached_at, steps,
+        expansions, cached_entry, cached_at, next_free, steps,
     ) = carry
 
     return {
-        "trace_i": trace_i,
-        "trace_f": trace_f,
+        "tnode": tnode,
+        "tpack": tpack,
+        "tparent": tparent,
+        "treal": treal,
         "trace_len": trace_len,
         "goal_idx": goal_idx,
         "inter_idx": inter_idx,

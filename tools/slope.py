@@ -22,6 +22,8 @@ from megagta_tpu.search.wavefront import (
 S = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 PL = int(sys.argv[3]) if len(sys.argv) > 3 else 12
+CAP = int(os.environ.get("CAP", "0"))
+PALLAS = bool(int(os.environ.get("PALLAS", "0")))
 STEPS = [int(x) for x in sys.argv[4:]] or [64, 512]
 
 CACHE = os.path.join(REPO, ".bench_cache")
@@ -42,15 +44,15 @@ for i in range(S):
 
 pts = []
 for ms in STEPS:
-    cfg = WavefrontConfig(pool_size=1 << PL, max_steps=ms, expand_width=B)
+    cfg = WavefrontConfig(pool_size=1 << PL, max_steps=ms, expand_width=B, cand_cap=CAP, use_pallas=PALLAS)
     t0 = time.perf_counter()
     res = wavefront_search_merged(graph, hmmd, dirs, jnp.asarray(si), jnp.asarray(sf, jnp.float32), cfg, fwd.model_length)
-    jax.block_until_ready(res["steps"]); compile_t = time.perf_counter() - t0
+    jax.block_until_ready(res); compile_t = time.perf_counter() - t0
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
         res = wavefront_search_merged(graph, hmmd, dirs, jnp.asarray(si), jnp.asarray(sf, jnp.float32), cfg, fwd.model_length)
-        jax.block_until_ready(res["steps"])
+        jax.block_until_ready(res)
         best = min(best, time.perf_counter() - t0)
     steps = int(res["steps"])
     pts.append((steps, best))

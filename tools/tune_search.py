@@ -1,6 +1,6 @@
 """Parameter sweep for the wavefront searcher on the bench workload.
 
-Usage: python tools/tune_search.py CHUNK B [POOL_LOG2] [CACHE(0/1)]
+Usage: python tools/tune_search.py CHUNK B [POOL_LOG2] [CACHE(0/1)] [CAP]
 Prints wall, expansions/s and a contig-set digest for equality checking.
 """
 
@@ -21,6 +21,7 @@ def main():
     B = int(sys.argv[2])
     pool_log2 = int(sys.argv[3]) if len(sys.argv) > 3 else 12
     use_cache = bool(int(sys.argv[4])) if len(sys.argv) > 4 else True
+    cap = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 
     import jax.numpy as jnp
 
@@ -38,9 +39,10 @@ def main():
         dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
         WavefrontConfig(
             pool_size=1 << pool_log2,
-            max_steps=1 << 12,
+            max_steps=1 << 11,
             expand_width=B,
             use_cache=use_cache,
+            cand_cap=cap,
         ),
         dtype=jnp.float32,
         chunk=chunk,
