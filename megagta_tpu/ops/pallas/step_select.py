@@ -23,6 +23,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -42,54 +43,61 @@ def _make_kernel(B: int, L: int):
         fval_ref, ia_ref, ibx_ref, lpx_ref, sc_ref, re_ref, mx_ref, act_ref,
         fval_out, outi1_ref, outi2_ref, outf_ref,
     ):
+        # NOTE masks stay int32 throughout: Mosaic rejects select_n with
+        # i1-typed OPERANDS ("unsupported target bitwidth for truncation"),
+        # so booleans appear only as where() conditions.
         f = fval_ref[0]  # [ROWS, P]
         ibx = ibx_ref[0]
-        act = act_ref[0] != 0  # [ROWS, 1]
+        act_i = act_ref[0]  # [ROWS, 1] int32 0/1
         P = f.shape[1]
         cols = jax.lax.broadcasted_iota(jnp.int32, f.shape, 1)
 
-        fm = jnp.where(act, f, INT_MIN32)
+        fm = jnp.where(act_i != 0, f, INT_MIN32)
         # ---- exact lex top-1
-        best1 = jnp.max(fm, axis=1, keepdims=True)
+        best1 = jnp.max(fm, axis=1, keepdims=True)  # [ROWS, 1]
         sno = (ibx >> 2) & 0xFFF
         st = ibx & 3
         rank = jnp.where(st == 0, 3, jnp.where(st == 2, 2, 1))
         k2 = ((4095 - sno) << 2) | rank
-        tie = fm == best1
-        k2m = jnp.where(tie, k2, INT_MIN32)
+        k2m = jnp.where(fm == best1, k2, INT_MIN32)
         best2 = jnp.max(k2m, axis=1, keepdims=True)
-        cand1 = tie & (k2m == best2)
-        sel1 = jnp.min(jnp.where(cand1, cols, P), axis=1)  # [ROWS]
-        any_alive = best1[:, 0] > INT_MIN32
+        sel1 = jnp.min(
+            jnp.where((fm == best1) & (k2m == best2), cols, P), axis=1
+        )  # [ROWS]
+        any_i = jnp.where(best1 > INT_MIN32, 1, 0)  # [ROWS, 1]
 
         # is_goal: state_no at sel1 >= L (only meaningful when any_alive)
-        sno1 = jnp.max(jnp.where(cols == sel1[:, None], sno, 0), axis=1)
-        is_goal = any_alive & act[:, 0] & (sno1 >= L)
+        sno1 = jnp.max(
+            jnp.where(cols == sel1[:, None], sno, 0), axis=1, keepdims=True
+        )
+        goal_i = jnp.where(
+            (any_i != 0) & (act_i != 0) & (sno1 >= L), 1, 0
+        )  # [ROWS, 1]
 
         # ---- exact top-B among non-goal entries (iterative argmax)
         sels = []
         vals = []
-        nk = jnp.where(act & (sno < L), f, INT_MIN32)
+        nk = jnp.where((act_i != 0) & (sno < L), f, INT_MIN32)
         for _ in range(B):
             v = jnp.max(nk, axis=1)
-            i = jnp.min(
-                jnp.where(nk == v[:, None], cols, P), axis=1
-            )
+            i = jnp.min(jnp.where(nk == v[:, None], cols, P), axis=1)
             sels.append(jnp.where(v > INT_MIN32, i, 0))
             vals.append(v)
             nk = jnp.where(cols == i[:, None], INT_MIN32, nk)
 
         sel = jnp.stack(sels, axis=1)  # [ROWS, B]
         topv = jnp.stack(vals, axis=1)
-        selv = (topv > INT_MIN32) & act[:, 0][:, None]
+        selv = jnp.where(topv > INT_MIN32, 1, 0) * act_i
         if B == 1:
             sel = sel1[:, None]
-            selv = (any_alive & act[:, 0])[:, None]
+            selv = any_i * act_i
         else:
             # goal consumes only slot 0 (carrying the goal node)
-            slot0 = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 1) == 0
-            sel = jnp.where(is_goal[:, None] & slot0, sel1[:, None], sel)
-            selv = jnp.where(is_goal[:, None], slot0, selv) & act[:, 0][:, None]
+            slot0 = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, sel.shape, 1) == 0, 1, 0
+            )
+            sel = jnp.where((goal_i * slot0) != 0, sel1[:, None], sel)
+            selv = jnp.where(goal_i != 0, slot0, selv) * act_i
 
         # ---- field extraction + kill masks, one pass per selected slot
         ia = ia_ref[0]
@@ -97,16 +105,16 @@ def _make_kernel(B: int, L: int):
         sc = sc_ref[0]
         re = re_ref[0]
         mx = mx_ref[0]
-        dead = jnp.zeros(f.shape, bool)
+        dead = jnp.zeros(f.shape, jnp.int32)
         ia_s = []
         ibx_s = []
         lpx_s = []
         sc_s = []
         re_s = []
         mx_s = []
+        neg_f = jnp.asarray(float(np.finfo(np.float32).min), sc.dtype)
         for b in range(B):
             pos = cols == sel[:, b][:, None]  # [ROWS, P] one-hot
-            sv = selv[:, b][:, None]
 
             def ext(arr, zero):
                 return jnp.max(jnp.where(pos, arr, zero), axis=1)
@@ -116,38 +124,37 @@ def _make_kernel(B: int, L: int):
             ia_s.append(ia_b)
             ibx_s.append(ibx_b)
             lpx_s.append(ext(lpx, INT_MIN32))
-            sc_s.append(ext(sc, -jnp.inf))
-            re_s.append(ext(re, -jnp.inf))
-            mx_s.append(ext(mx, -jnp.inf))
-            dead = dead | (
+            sc_s.append(ext(sc, neg_f))
+            re_s.append(ext(re, neg_f))
+            mx_s.append(ext(mx, neg_f))
+            hit = (
                 (ia == ia_b[:, None])
                 & ((ibx & IDENT_MASK) == (ibx_b[:, None] & IDENT_MASK))
-                & sv
+                & (selv[:, b][:, None] != 0)
             )
+            dead = dead | jnp.where(hit, 1, 0)
 
         R = f.shape[0]
         pad = lambda a: jnp.pad(jnp.stack(a, axis=1), ((0, 0), (0, 32 - B)))  # noqa: E731
         outi1_ref[0] = jnp.concatenate(
             [
                 pad([sel[:, b] for b in range(B)]),
-                pad([selv[:, b].astype(jnp.int32) for b in range(B)]),
+                pad([selv[:, b] for b in range(B)]),
                 pad(ia_s),
                 pad(ibx_s),
             ],
             axis=1,
         )
-        flags = jnp.stack(
-            [any_alive.astype(jnp.int32), is_goal.astype(jnp.int32)], axis=1
-        )
         outi2_ref[0] = jnp.concatenate(
-            [pad(lpx_s), flags, jnp.zeros((R, 94), jnp.int32)], axis=1
+            [pad(lpx_s), any_i, goal_i, jnp.zeros((R, 94), jnp.int32)],
+            axis=1,
         )
         outf_ref[0] = jnp.concatenate(
             [pad(sc_s), pad(re_s), pad(mx_s), jnp.zeros((R, 32), sc.dtype)],
             axis=1,
         )
 
-        fval_out[0] = jnp.where(dead, INT_MIN32, f)
+        fval_out[0] = jnp.where(dead != 0, INT_MIN32, f)
 
     return kernel
 

@@ -88,6 +88,37 @@ def _batch_lookup(dbg: SdBG, seeds: list[tuple[str, int]]) -> tuple[np.ndarray, 
 # ---- compact chain helpers (child -> root order; packed = ne | state<<9 |
 # state_no<<11, -1 past the end) ------------------------------------------
 
+_EMIT_LUT = np.frombuffer(b"acgt-???", dtype=np.uint8)
+
+
+def _contigs_from_chains(packed: np.ndarray, reals: np.ndarray) -> list[str]:
+    """Vectorized getHighestScoreNode + partialResultFromGoal over all rows.
+
+    packed/reals: [R, C]. Per row: best = first max real_score scanning
+    tip->root; contig = emissions of chain indices n-2 .. best in root->tip
+    order (delete states emit nothing)."""
+    R, C = packed.shape
+    valid = packed >= 0
+    n = valid.sum(axis=1)
+    rm = np.where(valid, reals, -np.inf)
+    best = np.argmax(rm, axis=1)  # first occurrence == reference replace rule
+    ne = packed & 0x1FF
+    state = (packed >> 9) & 3
+    chars = np.stack(
+        [_EMIT_LUT[(ne >> 6) & 7], _EMIT_LUT[(ne >> 3) & 7], _EMIT_LUT[ne & 7]],
+        axis=2,
+    )  # [R, C, 3]
+    idx = np.arange(C)[None, :]
+    keep = (
+        valid
+        & (state != 2)
+        & (idx >= best[:, None])
+        & (idx <= (n - 2)[:, None])
+    )
+    chars_f = chars[:, ::-1]
+    keep_f = keep[:, ::-1]
+    return [chars_f[r][keep_f[r]].tobytes().decode() for r in range(R)]
+
 
 def _n_valid(packed: np.ndarray) -> int:
     valid = packed >= 0
@@ -348,14 +379,22 @@ class BatchSearcher:
             res["cached_at"] >= 0, res["cached_at"], res["inter_idx"]
         )
         while True:
-            nodes, packed, reals = extract_chains(
+            dnodes, dpacked, dreals = extract_chains(
                 res["tnode"], res["tpack"], res["tparent"], res["treal"],
                 start_idx, self.maxc,
             )
-            nodes = np.asarray(nodes)
-            packed = np.asarray(packed)
-            reals = np.asarray(reals, np.float64)
-            if not (packed[:, -1] >= 0).any():
+            # slice to the longest actual chain before pulling to the host:
+            # the tunnel downloads at ~20 MB/s, so bytes are the cost
+            lmax = int(jnp.max(jnp.sum(dpacked >= 0, axis=1)))
+            if lmax < self.maxc:
+                c = max(lmax, 1)
+                dnodes, dpacked, dreals = (
+                    dnodes[:, :c], dpacked[:, :c], dreals[:, :c]
+                )
+            nodes = np.asarray(dnodes)
+            packed = np.asarray(dpacked)
+            reals = np.asarray(dreals, np.float64)
+            if lmax < self.maxc:
                 break
             self.maxc *= 4  # truncated chain: retry deeper (rare)
 
@@ -364,19 +403,20 @@ class BatchSearcher:
         ce_f, ce_r = ce[:S], ce[S:]
         goal_f, goal_r = goal[:S], goal[S:]
 
+        plain = _contigs_from_chains(packed, reals)
         contigs = []
         for i, (nucl, _) in enumerate(seeds):
             if self.cache_f and ce_f[i] >= 0:
                 right = self.cache_f.compose(packed[i], reals[i], int(ce_f[i]))
             else:
-                right = _contig_from_chain(packed[i], reals[i])
+                right = plain[i]
                 if self.cache_f is not None and goal_f[i] >= 0:
                     self.cache_f.harvest(nodes[i], packed[i], reals[i])
             j = S + i
             if self.cache_r and ce_r[i] >= 0:
                 left = self.cache_r.compose(packed[j], reals[j], int(ce_r[i]))
             else:
-                left = _contig_from_chain(packed[j], reals[j])
+                left = plain[j]
                 if self.cache_r is not None and goal_r[i] >= 0:
                     self.cache_r.harvest(nodes[j], packed[j], reals[j])
             left_rc = "".join(_COMP[c] for c in reversed(left))

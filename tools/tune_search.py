@@ -38,11 +38,12 @@ def main():
     bs = BatchSearcher(
         dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
         WavefrontConfig(
-            pool_size=1 << pool_log2,
             max_steps=1 << 11,
             expand_width=B,
             use_cache=use_cache,
             cand_cap=cap,
+            use_pallas=bool(int(os.environ.get("PALLAS", "0"))),
+            pool_size=1 << pool_log2,
         ),
         dtype=jnp.float32,
         chunk=chunk,
