@@ -40,16 +40,18 @@ def _make_kernel(B: int, L: int):
     # outi2 = [0:32) lpx_s, col 32 any_alive, col 33 is_goal;
     # outf  = [0:32) sc_s, [32:64) re_s, [64:96) mx_s.
     def kernel(
-        fval_ref, ia_ref, ibx_ref, lpx_ref, sc_ref, re_ref, mx_ref, act_ref,
+        fval_ref, resti_ref, poolf_ref, act_ref,
         fval_out, outi1_ref, outi2_ref, outf_ref,
     ):
         # NOTE masks stay int32 throughout: Mosaic rejects select_n with
         # i1-typed OPERANDS ("unsupported target bitwidth for truncation"),
-        # so booleans appear only as where() conditions.
+        # so booleans appear only as where() conditions. The grouped planes
+        # arrive lane-flattened ([ROWS, 3P]) — rank-4 blocks with a tiny
+        # sublane dim stall the Mosaic compiler.
         f = fval_ref[0]  # [ROWS, P]
-        ibx = ibx_ref[0]
-        act_i = act_ref[0]  # [ROWS, 1] int32 0/1
         P = f.shape[1]
+        ibx = resti_ref[0][:, P : 2 * P]
+        act_i = act_ref[0]  # [ROWS, 1] int32 0/1
         cols = jax.lax.broadcasted_iota(jnp.int32, f.shape, 1)
 
         fm = jnp.where(act_i != 0, f, INT_MIN32)
@@ -100,11 +102,11 @@ def _make_kernel(B: int, L: int):
             selv = jnp.where(goal_i != 0, slot0, selv) * act_i
 
         # ---- field extraction + kill masks, one pass per selected slot
-        ia = ia_ref[0]
-        lpx = lpx_ref[0]
-        sc = sc_ref[0]
-        re = re_ref[0]
-        mx = mx_ref[0]
+        ia = resti_ref[0][:, 0:P]
+        lpx = resti_ref[0][:, 2 * P : 3 * P]
+        sc = poolf_ref[0][:, 0:P]
+        re = poolf_ref[0][:, P : 2 * P]
+        mx = poolf_ref[0][:, 2 * P : 3 * P]
         dead = jnp.zeros(f.shape, jnp.int32)
         ia_s = []
         ibx_s = []
@@ -160,34 +162,35 @@ def _make_kernel(B: int, L: int):
 
 
 @partial(jax.jit, static_argnames=("B", "L", "interpret"))
-def step_select_kill(fval, ia, ibx, lpx, fsc, fre, fmx, active,
+def step_select_kill(fval, resti, poolf, active,
                      B: int, L: int, interpret: bool = False):
-    """Fused select + extract + kill. Returns (fval', sel [S,B], selv [S,B]
-    bool, any_alive [S] bool, is_goal [S] bool, ia_s, ibx_s, lpx_s [S,B]
-    i32, sc_s, re_s, mx_s [S,B] dt)."""
+    """Fused select + extract + kill over the grouped pool planes
+    (fval [S,P]; resti [S,3,P] = ia/ibx/lpx; poolf [S,3,P] = sc/re/mx).
+    Returns (fval', sel [S,B], selv [S,B] bool, any_alive [S] bool,
+    is_goal [S] bool, ia_s, ibx_s, lpx_s [S,B] i32, sc_s, re_s, mx_s
+    [S,B] dt)."""
     S, P = fval.shape
-    dt = fsc.dtype
+    dt = poolf.dtype
     assert B <= 32, "packed output lanes allow at most 32 frontier slots"
     pad = (-S) % ROWS
     if pad:
-        padi = lambda a: jnp.pad(a, ((0, pad), (0, 0)))  # noqa: E731
         fval = jnp.pad(fval, ((0, pad), (0, 0)), constant_values=INT_MIN32)
-        ia, ibx, lpx = padi(ia), padi(ibx), padi(lpx)
-        fsc, fre, fmx = padi(fsc), padi(fre), padi(fmx)
+        resti = jnp.pad(resti, ((0, pad), (0, 0), (0, 0)))
+        poolf = jnp.pad(poolf, ((0, pad), (0, 0), (0, 0)))
         active = jnp.pad(active, (0, pad))
     Sp = S + pad
     G = Sp // ROWS
-    r3 = lambda a: a.reshape(G, ROWS, P)  # noqa: E731
     act = active.astype(jnp.int32).reshape(G, ROWS, 1)
 
     spec = pl.BlockSpec((1, ROWS, P), lambda s: (s, 0, 0), memory_space=pltpu.VMEM)
+    spec3 = pl.BlockSpec((1, ROWS, 3 * P), lambda s: (s, 0, 0), memory_space=pltpu.VMEM)
     aspec = pl.BlockSpec((1, ROWS, 1), lambda s: (s, 0, 0), memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((1, ROWS, 128), lambda s: (s, 0, 0), memory_space=pltpu.VMEM)
 
     fval2, outi1, outi2, outf = pl.pallas_call(
         _make_kernel(B, L),
         grid=(G,),
-        in_specs=[spec] * 7 + [aspec],
+        in_specs=[spec, spec3, spec3, aspec],
         out_specs=(spec, ospec, ospec, ospec),
         out_shape=(
             jax.ShapeDtypeStruct((G, ROWS, P), jnp.int32),
@@ -197,7 +200,12 @@ def step_select_kill(fval, ia, ibx, lpx, fsc, fre, fmx, active,
         ),
         input_output_aliases={0: 0},
         interpret=interpret,
-    )(r3(fval), r3(ia), r3(ibx), r3(lpx), r3(fsc), r3(fre), r3(fmx), act)
+    )(
+        fval.reshape(G, ROWS, P),
+        resti.reshape(G, ROWS, 3 * P),
+        poolf.reshape(G, ROWS, 3 * P),
+        act,
+    )
 
     i1 = outi1.reshape(Sp, 128)[:S]
     i2 = outi2.reshape(Sp, 128)[:S]

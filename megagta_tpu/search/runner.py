@@ -154,26 +154,26 @@ class _PathCache:
     """Host side of the cross-seed path cache (term-node equivalent).
 
     Holds identity -> (suffix string after the node on a goal path, max
-    real_score downstream). The open-address tables probed by the wavefront
-    kernel live on device (owned by BatchSearcher); `pending` accumulates
-    (slot, a, b, val) scatter updates for them."""
+    real_score downstream). The bucketized table probed by the wavefront
+    kernel lives on device as [2, HB, 16] rows (4 slots: cols 0-3 key a,
+    4-7 key b, 8-11 entry index — one 64 B row gather per probe);
+    `pending` accumulates (bucket, slot, a, b, val) scatter updates."""
 
-    def __init__(self, size_log2: int = 21):
-        self.H = 1 << size_log2
-        self.keys_a = np.full(self.H, -1, np.int32)
+    def __init__(self, size_log2: int = 19):
+        self.HB = 1 << size_log2  # buckets of 4 slots
+        self.fill = np.zeros(self.HB, np.int8)
         self.entries: list[tuple[str, float]] = []
         self.seen: set = set()
-        self.pending: list[tuple[int, int, int, int]] = []
+        self.pending: list[tuple[int, int, int, int, int]] = []
 
     def _insert(self, a: int, b: int, entry_idx: int):
         h = ((a * 2654435761) ^ (b * 40503)) & 0xFFFFFFFF
-        for probe in range(4):
-            idx = (h + probe) % self.H
-            if self.keys_a[idx] == -1:
-                self.keys_a[idx] = a
-                self.pending.append((idx, a, b, entry_idx))
-                return
-        # table neighborhood full: drop (lossy cache)
+        bk = h % self.HB
+        slot = int(self.fill[bk])
+        if slot >= 4:
+            return  # bucket full: drop (lossy cache)
+        self.fill[bk] = slot + 1
+        self.pending.append((bk, slot, a, b, entry_idx))
 
     def harvest(self, nodes: np.ndarray, packed: np.ndarray, reals: np.ndarray):
         """Insert every node of a completed goal path (first insert wins,
@@ -222,16 +222,15 @@ class _PathCache:
         return _contig_from_chain(packed, reals)
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2), static_argnums=(3,))
-def _cache_scatter(tab_a, tab_b, tab_v, d, slots, na, nb, nv):
-    """Scatter new cache entries into the persistent device tables.
+@partial(jax.jit, donate_argnums=(0,), static_argnums=(1,))
+def _cache_scatter(tab, d, buckets, slots, na, nb, nv):
+    """Scatter new cache entries into the persistent device bucket table.
 
-    Out-of-range slots (the padding) are dropped."""
-    return (
-        tab_a.at[d, slots].set(na, mode="drop"),
-        tab_b.at[d, slots].set(nb, mode="drop"),
-        tab_v.at[d, slots].set(nv, mode="drop"),
-    )
+    tab: [2, HB, 16]. Out-of-range buckets (the padding) are dropped."""
+    tab = tab.at[d, buckets, slots].set(na, mode="drop")
+    tab = tab.at[d, buckets, slots + 4].set(nb, mode="drop")
+    tab = tab.at[d, buckets, slots + 8].set(nv, mode="drop")
+    return tab
 
 
 _COMP = {"a": "t", "c": "g", "g": "c", "t": "a", "-": "-"}
@@ -285,30 +284,26 @@ class BatchSearcher:
         return jax.device_put(arr, NamedSharding(self.mesh, P(axis)))
 
     def _cache_tables(self):
-        """Persistent device tables, updated by scattering pending entries."""
+        """Persistent device table, updated by scattering pending entries."""
+        HB = self.cache_f.HB
         if self._dev_cache is None:
-            H = self.cache_f.H
-            self._dev_cache = (
-                jnp.full((2, H), -1, jnp.int32),
-                jnp.full((2, H), -1, jnp.int32),
-                jnp.full((2, H), -1, jnp.int32),
-            )
-        H = self.cache_f.H
+            self._dev_cache = jnp.full((2, HB, 16), -1, jnp.int32)
         for d, cache in ((0, self.cache_f), (1, self.cache_r)):
             if not cache.pending:
                 continue
             n = len(cache.pending)
             pad = 1 << max(6, (n - 1).bit_length())
-            upd = np.full((pad, 4), H, np.int64)  # slot H = dropped
+            upd = np.full((pad, 5), HB, np.int64)  # bucket HB = dropped
             upd[:n] = cache.pending
             cache.pending = []
             self._dev_cache = _cache_scatter(
-                *self._dev_cache,
+                self._dev_cache,
                 d,
                 jnp.asarray(upd[:, 0], jnp.int32),
-                jnp.asarray(upd[:, 1], jnp.int32),
+                jnp.asarray(upd[:, 1] % 4, jnp.int32),
                 jnp.asarray(upd[:, 2], jnp.int32),
                 jnp.asarray(upd[:, 3], jnp.int32),
+                jnp.asarray(upd[:, 4], jnp.int32),
             )
         return self._dev_cache
 
@@ -357,7 +352,7 @@ class BatchSearcher:
             )
 
         # one merged run: rows [0:S] forward, [S:2S] reverse
-        tab = self._cache_tables() if self.cache_f else (None, None, None)
+        tab = self._cache_tables() if self.cache_f else None
         dirs = np.concatenate([np.zeros(S, np.int32), np.ones(S, np.int32)])
         res = wavefront_search_merged(
             self.graph,
@@ -367,7 +362,7 @@ class BatchSearcher:
             self._place(jnp.asarray(np.concatenate([sf_f, sf_r]), self.dtype)),
             self.config,
             self.fwd_hmm.model_length,
-            *tab,
+            tab,
         )
         self.last_stats["expansions"] += int(res["expansions"])
         self.last_stats["steps"] += int(res["steps"])
@@ -380,8 +375,7 @@ class BatchSearcher:
         )
         while True:
             dnodes, dpacked, dreals = extract_chains(
-                res["tnode"], res["tpack"], res["tparent"], res["treal"],
-                start_idx, self.maxc,
+                res["trace3"], res["treal"], start_idx, self.maxc,
             )
             # slice to the longest actual chain before pulling to the host:
             # the tunnel downloads at ~20 MB/s, so bytes are the cost

@@ -303,7 +303,10 @@ class WavefrontConfig:
     # sorts); any dropped VALID candidate is flagged via `overflow`.
     cand_cap: int = 0
     use_cache: bool = False  # cross-seed path-cache short-circuit (turbo)
-    use_pallas: bool = False  # fused Pallas pool-selection kernel
+    use_pallas: bool = False  # fused Pallas select+extract+kill kernel
+    # fused Pallas expansion kernel (step_expand); separate switch: its
+    # combined compile with the select kernel is very slow on some runtimes
+    use_pallas_expand: bool = False
     # None = auto (hop tables unless the graph exceeds the HBM threshold);
     # False forces the raw 3-gather kernel path
     precompute_hops: bool | None = None
@@ -346,7 +349,7 @@ def _k2(ibx):
 
 
 @partial(jax.jit, static_argnames=("maxc",))
-def extract_chains(tnode, tpack, tparent, treal, start_idx, maxc: int):
+def extract_chains(trace3, treal, start_idx, maxc: int):
     """Walk parent pointers on device; return compact child->root chains.
 
     Replaces host-side traceback over the full trace arenas: on a tunneled
@@ -357,6 +360,7 @@ def extract_chains(tnode, tpack, tparent, treal, start_idx, maxc: int):
     Chain entry 0 is `start_idx` itself; the last valid entry is the root
     (trace parent -1, cf. runner traceback of hmm_graph_search.h:83-109).
     """
+    tnode, tpack, tparent = trace3[:, 0], trace3[:, 1], trace3[:, 2]
 
     def step(idx, _):
         valid = idx >= 0
@@ -390,9 +394,7 @@ def wavefront_search_merged(
     start_floats: jnp.ndarray,  # [S, 3] dtype
     config: WavefrontConfig,
     model_length: int,
-    cache_a: jnp.ndarray | None = None,  # [2, H] identity word a (-1 empty)
-    cache_b: jnp.ndarray | None = None,  # [2, H] identity word b
-    cache_val: jnp.ndarray | None = None,  # [2, H] host entry index
+    cache_tab: jnp.ndarray | None = None,  # [2, HB, 16] bucketized cache
 ):
     """Run S lockstep searches. Returns dict of results + trace arenas.
 
@@ -436,14 +438,14 @@ def wavefront_search_merged(
     c3 = jnp.arange(64, dtype=jnp.int32) % 4
     ne64 = (c1 << 6) | (c2 << 3) | c3
 
-    # ---- pool state (separate field arrays; fval INT_MIN = dead/empty)
+    # ---- pool state: fval plane (INT_MIN = dead/empty) + grouped planes
+    # resti [S, 3, P] = (ia node, ibx packed, lpx packed) and poolf
+    # [S, 3, P] = (score, real, max) — grouped so a step appends with three
+    # dynamic_update_slices and the selected-field extraction reads whole
+    # rows, while scans still touch only the planes they need
     fval = jnp.full((S, P), INT_MIN32, jnp.int32)
-    ia = jnp.zeros((S, P), jnp.int32)
-    ibx = jnp.zeros((S, P), jnp.int32)
-    lpx = jnp.zeros((S, P), jnp.int32)
-    fsc = jnp.zeros((S, P), dt)
-    fre = jnp.zeros((S, P), dt)
-    fmx = jnp.zeros((S, P), dt)
+    resti = jnp.zeros((S, 3, P), jnp.int32)
+    poolf = jnp.zeros((S, 3, P), dt)
 
     def pack_ibx(state, state_no, neg, ne):
         return (
@@ -467,18 +469,17 @@ def wavefront_search_merged(
         jnp.where(has_start, jnp.maximum(start_ints[:, NI_FVAL], INT_MIN32 + 2),
                   INT_MIN32)
     )
-    ia = ia.at[:, 0].set(s_node)
-    ibx = ibx.at[:, 0].set(s_ibx)
-    lpx = lpx.at[:, 0].set(s_lpx)
-    fsc = fsc.at[:, 0].set(start_floats[:, NF_SCORE])
-    fre = fre.at[:, 0].set(start_floats[:, NF_REAL])
-    fmx = fmx.at[:, 0].set(start_floats[:, NF_MAX])
+    resti = resti.at[:, 0, 0].set(s_node)
+    resti = resti.at[:, 1, 0].set(s_ibx)
+    resti = resti.at[:, 2, 0].set(s_lpx)
+    poolf = poolf.at[:, 0, 0].set(start_floats[:, NF_SCORE])
+    poolf = poolf.at[:, 1, 0].set(start_floats[:, NF_REAL])
+    poolf = poolf.at[:, 2, 0].set(start_floats[:, NF_MAX])
     next_free = jnp.ones((), jnp.int32)  # shared by all seeds (see above)
 
-    # ---- trace arenas (one record per selected node per step)
-    tnode = jnp.zeros((S, T), jnp.int32)
-    tpack = jnp.zeros((S, T), jnp.int32)
-    tparent = jnp.zeros((S, T), jnp.int32)
+    # ---- trace arenas (one record per selected node per step):
+    # trace3 [S, 3, T] = (node, packed ne|state|state_no, parent), treal
+    trace3 = jnp.zeros((S, 3, T), jnp.int32)
     treal = jnp.zeros((S, T), dt)
     trace_len = jnp.zeros((S,), jnp.int32)
 
@@ -705,25 +706,28 @@ def wavefront_search_merged(
         return cand_fval, cand_node, c_ibx, c_lpx, cand_score, cand_real, cand_max, valid
 
     def probe_cache(ids_a, ids_b):
-        """4-probe open-address lookup of identities; -1 on miss.
+        """4-slot bucket lookup of identities; -1 on miss.
 
         The cross-seed path cache is the deterministic counterpart of the
         reference's term-node memo (hmm_graph_search.h:211-234): a hit means
         a previous seed's best path already passes through this (node,
         state, state_no); the search short-circuits and the host composes
-        prefix + cached suffix.
+        prefix + cached suffix. Buckets hold 4 slots in one 64-byte row
+        (cols 0-3 key a, 4-7 key b, 8-11 host entry index) so the probe is
+        ONE row gather instead of twelve elementwise ones.
         """
-        H = cache_a.shape[1]
+        HB = cache_tab.shape[1]
         ua = ids_a.astype(jnp.uint32)
         ub = ids_b.astype(jnp.uint32)
         h = (ua * jnp.uint32(2654435761) ^ (ub * jnp.uint32(40503))).astype(
             jnp.uint32
         )
+        idx = (h % jnp.uint32(HB)).astype(jnp.int32)
+        row = cache_tab.reshape(2 * HB, 16)[dirs * HB + idx]  # [S, 16]
         val = jnp.full(ids_a.shape, -1, jnp.int32)
-        for probe in range(4):
-            idx = ((h + jnp.uint32(probe)) % jnp.uint32(H)).astype(jnp.int32)
-            hit = (cache_a[dirs, idx] == ids_a) & (cache_b[dirs, idx] == ids_b)
-            val = jnp.where((val < 0) & hit, cache_val[dirs, idx], val)
+        for s in range(4):
+            hit = (row[:, s] == ids_a) & (row[:, 4 + s] == ids_b)
+            val = jnp.where((val < 0) & hit, row[:, 8 + s], val)
         return val
 
     def compact(carry):
@@ -735,17 +739,23 @@ def wavefront_search_merged(
         headroom are evicted worst-first (rare; flagged per seed via
         `overflow`)."""
         (
-            fval, ia, ibx, lpx, fsc, fre, fmx,
-            tnode, tpack, tparent, treal, trace_len,
+            fval, resti, poolf,
+            trace3, treal, trace_len,
             active, done_partial, goal_idx, inter_idx, inter_val, overflow,
             expansions, cached_entry, cached_at, next_free, step,
         ) = carry
         key = jnp.where(fval > INT_MIN32, -fval, INT_MAX32)
         s = jax.lax.sort(
-            (key, ia, ibx, lpx, fsc, fre, fmx),
+            (
+                key,
+                resti[:, 0], resti[:, 1], resti[:, 2],
+                poolf[:, 0], poolf[:, 1], poolf[:, 2],
+            ),
             dimension=1, num_keys=1, is_stable=True,
         )
-        key, ia, ibx, lpx, fsc, fre, fmx = s
+        key = s[0]
+        resti = jnp.stack(s[1:4], axis=1)
+        poolf = jnp.stack(s[4:7], axis=1)
         alive_s = key != INT_MAX32
         counts = alive_s.sum(axis=-1).astype(jnp.int32)
         overflow = overflow | (counts > P - CAND)
@@ -753,19 +763,21 @@ def wavefront_search_merged(
         fval = jnp.where(alive_s & keep, -key, INT_MIN32)
         next_free = jnp.minimum(jnp.max(counts), P - CAND)
         return (
-            fval, ia, ibx, lpx, fsc, fre, fmx,
-            tnode, tpack, tparent, treal, trace_len,
+            fval, resti, poolf,
+            trace3, treal, trace_len,
             active, done_partial, goal_idx, inter_idx, inter_val, overflow,
             expansions, cached_entry, cached_at, next_free, step,
         )
 
     def body(carry):
         (
-            fval, ia, ibx, lpx, fsc, fre, fmx,
-            tnode, tpack, tparent, treal, trace_len,
+            fval, resti, poolf,
+            trace3, treal, trace_len,
             active, done_partial, goal_idx, inter_idx, inter_val, overflow,
             expansions, cached_entry, cached_at, next_free, step,
         ) = carry
+        ia, ibx, lpx = resti[:, 0], resti[:, 1], resti[:, 2]
+        fsc, fre, fmx = poolf[:, 0], poolf[:, 1], poolf[:, 2]
 
         if config.use_pallas:
             from ..ops.pallas.step_select import step_select_kill
@@ -774,7 +786,7 @@ def wavefront_search_merged(
                 fval, _sel, sel_valid, any_alive, is_goal,
                 ia_s, ibx_s, lpx_s, sc_s, re_s, mx_s,
             ) = step_select_kill(
-                fval, ia, ibx, lpx, fsc, fre, fmx, active,
+                fval, resti, poolf, active,
                 B, L, interpret=jax.default_backend() != "tpu",
             )
             newly_exhausted = active & ~any_alive
@@ -826,38 +838,15 @@ def wavefront_search_merged(
                 )
             fval = jnp.where(dead, INT_MIN32, fval)
 
-        # ---- trace append at the step's fixed block (scatter-free)
         tpos = 1 + step * B  # slot 0 = start node
         slot_pos_c = tpos + jnp.broadcast_to(
             jnp.arange(B, dtype=jnp.int32)[None, :], (S, B)
         )
-        write_ok = sel_valid
         zero = jnp.zeros((), jnp.int32)
-        s_sno = (ibx_s >> 2) & 0xFFF
-        s_state = ibx_s & 3
-        s_ne = (ibx_s >> NE_SHIFT) & 0x1FF
-        s_len = lpx_s >> LEN_SHIFT
-        pk = s_ne | (s_state << 9) | (s_sno << 11)
-        dus = lambda a, blk: jax.lax.dynamic_update_slice(a, blk, (zero, tpos))  # noqa: E731
-        tnode = dus(tnode, ia_s)
-        tpack = dus(tpack, pk)
-        tparent = dus(tparent, (lpx_s & PARENT_MASK) - 1)
-        treal = dus(treal, re_s)
-        trace_len = trace_len + sel_valid.sum(axis=1, dtype=jnp.int32)
 
-        # ---- inter-goal update (hmm_graph_search.h:274-277)
-        ev = re_s + _exit_prob(s_len, dt)
-        ev = jnp.where(write_ok, ev, NEG)
-        best_b = jnp.argmax(ev, axis=1)
-        best_ev = jnp.take_along_axis(ev, best_b[:, None], axis=1)[:, 0]
-        better = active & (best_ev > inter_val)
-        inter_val = jnp.where(better, best_ev, inter_val)
-        inter_idx = jnp.where(
-            better, jnp.take_along_axis(slot_pos_c, best_b[:, None], axis=1)[:, 0],
-            inter_idx,
-        )
-
-        # ---- goal acceptance
+        # ---- goal acceptance (active_pre feeds the inter-goal update: the
+        # goal/cache-hit step's own records still compete for the inter goal)
+        active_pre = active
         goal_idx = jnp.where(is_goal, slot_pos_c[:, 0], goal_idx)
         active = active & ~is_goal
 
@@ -869,70 +858,145 @@ def wavefront_search_merged(
             cached_at = jnp.where(hit, slot_pos_c[:, 0], cached_at)
             active = active & ~hit
 
-        # ---- expand
         expand_mask = sel_valid & ~is_goal[:, None] & active[:, None]
-        ndir = jnp.repeat(dirs, B, total_repeat_length=S * B)
-        c_fval, c_ia, c_ibx, c_lpx, c_sc, c_re, c_mx, cvalid = expand(
-            ia_s.reshape(S * B),
-            s_state.reshape(S * B),
-            s_sno.reshape(S * B),
-            ((ibx_s >> NEG_SHIFT) & 63).reshape(S * B),
-            s_len.reshape(S * B),
-            sc_s.reshape(S * B),
-            re_s.reshape(S * B),
-            mx_s.reshape(S * B),
-            slot_pos_c.reshape(S * B),
-            ndir,
-            step == 0,
-        )
-        cvalid = cvalid & expand_mask.reshape(S * B)[:, None]
-        c_fval = c_fval.reshape(S, CAND0)
-        c_ia = c_ia.reshape(S, CAND0)
-        c_ibx = c_ibx.reshape(S, CAND0)
-        c_lpx = c_lpx.reshape(S, CAND0)
-        c_sc = c_sc.reshape(S, CAND0)
-        c_re = c_re.reshape(S, CAND0)
-        c_mx = c_mx.reshape(S, CAND0)
-        cvalid = cvalid.reshape(S, CAND0)
-        expansions = expansions + cvalid.sum(dtype=jnp.int32)
+        trace_len = trace_len + sel_valid.sum(axis=1, dtype=jnp.int32)
 
-        # ---- candidate compression (turbo): keep top-CAND by fval so the
-        # pool grows ~CAND0/CAND x slower between compact sorts
-        if CAND < CAND0:
-            vc = cvalid.sum(axis=1, dtype=jnp.int32)
-            ckey = jnp.where(cvalid, c_fval, INT_MIN32).astype(jnp.float32)
-            _, keepi = jax.lax.approx_max_k(ckey, CAND, recall_target=0.99)
-            take = lambda a: jnp.take_along_axis(a, keepi, axis=1)  # noqa: E731
-            cvalid = take(cvalid) & (take(ckey) > INT_MIN32)
-            # drop detection (covers both count overflow and approximation
-            # misses): fewer valid survivors than min(valid, CAND) means a
-            # valid candidate was dropped
-            kv = cvalid.sum(axis=1, dtype=jnp.int32)
-            overflow = overflow | (kv < jnp.minimum(vc, CAND))
-            c_fval, c_ia, c_ibx, c_lpx = take(c_fval), take(c_ia), take(c_ibx), take(c_lpx)
-            c_sc, c_re, c_mx = take(c_sc), take(c_re), take(c_mx)
+        # ---- trace records + inter-goal candidate (small [S, B] math)
+        s_sno = (ibx_s >> 2) & 0xFFF
+        s_state = ibx_s & 3
+        s_ne = (ibx_s >> NE_SHIFT) & 0x1FF
+        s_len = lpx_s >> LEN_SHIFT
+        pk = s_ne | (s_state << 9) | (s_sno << 11)
+        tr_i = jnp.stack([ia_s, pk, (lpx_s & PARENT_MASK) - 1], axis=1)
+        tr_f = re_s
+
+        ev = re_s + _exit_prob(s_len, dt)
+        ev = jnp.where(sel_valid, ev, NEG)
+        best_b = jnp.argmax(ev, axis=1)
+        best_ev = jnp.take_along_axis(ev, best_b[:, None], axis=1)[:, 0]
+        best_pos = tpos + best_b.astype(jnp.int32)
+
+        use_k2 = (
+            config.use_pallas_expand and graph.pt is not None
+            and CAND == CAND0 and (S * B) % 8 == 0
+        )
+        if use_k2:
+            # ---- fused expansion kernel
+            from ..ops.pallas.step_expand import step_expand
+
+            pt_rows = graph.pt[
+                jnp.clip(ia_s.reshape(S * B), 0, graph.num_rows - 1)
+            ]
+            ndir = jnp.repeat(dirs, B, total_repeat_length=S * B)
+            (c_fval, c_ia, c_ibx, c_lpx, c_sc, c_re, c_mx, counts) = step_expand(
+                pt_rows, hmm.hsuper,
+                ia_s.reshape(S * B), ibx_s.reshape(S * B),
+                lpx_s.reshape(S * B),
+                sc_s.reshape(S * B), re_s.reshape(S * B), mx_s.reshape(S * B),
+                expand_mask.reshape(S * B), ndir,
+                slot_pos_c.reshape(S * B),
+                step == 0,
+                W, L, config.prune_len,
+                -math.log(config.low_cov_penalty), int(AA_STOP),
+                interpret=jax.default_backend() != "tpu",
+            )
+            expansions = expansions + counts.sum(dtype=jnp.int32)
+            c_fval = c_fval.reshape(S, CAND0)
+            c_resti = jnp.stack(
+                [
+                    c_ia.reshape(S, CAND0),
+                    c_ibx.reshape(S, CAND0),
+                    c_lpx.reshape(S, CAND0),
+                ],
+                axis=1,
+            )
+            c_poolf = jnp.stack(
+                [
+                    c_sc.reshape(S, CAND0),
+                    c_re.reshape(S, CAND0),
+                    c_mx.reshape(S, CAND0),
+                ],
+                axis=1,
+            )
+        else:
+            # ---- expand
+            ndir = jnp.repeat(dirs, B, total_repeat_length=S * B)
+            c_fval, c_ia, c_ibx, c_lpx, c_sc, c_re, c_mx, cvalid = expand(
+                ia_s.reshape(S * B),
+                s_state.reshape(S * B),
+                s_sno.reshape(S * B),
+                ((ibx_s >> NEG_SHIFT) & 63).reshape(S * B),
+                s_len.reshape(S * B),
+                sc_s.reshape(S * B),
+                re_s.reshape(S * B),
+                mx_s.reshape(S * B),
+                slot_pos_c.reshape(S * B),
+                ndir,
+                step == 0,
+            )
+            cvalid = cvalid & expand_mask.reshape(S * B)[:, None]
+            c_fval = c_fval.reshape(S, CAND0)
+            c_ia = c_ia.reshape(S, CAND0)
+            c_ibx = c_ibx.reshape(S, CAND0)
+            c_lpx = c_lpx.reshape(S, CAND0)
+            c_sc = c_sc.reshape(S, CAND0)
+            c_re = c_re.reshape(S, CAND0)
+            c_mx = c_mx.reshape(S, CAND0)
+            cvalid = cvalid.reshape(S, CAND0)
+            expansions = expansions + cvalid.sum(dtype=jnp.int32)
+
+            # ---- candidate compression (turbo): keep top-CAND by fval so
+            # the pool grows ~CAND0/CAND x slower between compact sorts
+            if CAND < CAND0:
+                vc = cvalid.sum(axis=1, dtype=jnp.int32)
+                ckey = jnp.where(cvalid, c_fval, INT_MIN32).astype(jnp.float32)
+                _, keepi = jax.lax.approx_max_k(ckey, CAND, recall_target=0.99)
+                take = lambda a: jnp.take_along_axis(a, keepi, axis=1)  # noqa: E731
+                cvalid = take(cvalid) & (take(ckey) > INT_MIN32)
+                # drop detection (covers both count overflow and
+                # approximation misses): fewer valid survivors than
+                # min(valid, CAND) means a valid candidate was dropped
+                kv = cvalid.sum(axis=1, dtype=jnp.int32)
+                overflow = overflow | (kv < jnp.minimum(vc, CAND))
+                c_fval, c_ia, c_ibx, c_lpx = (
+                    take(c_fval), take(c_ia), take(c_ibx), take(c_lpx)
+                )
+                c_sc, c_re, c_mx = take(c_sc), take(c_re), take(c_mx)
+
+            c_fval = jnp.where(
+                cvalid, jnp.maximum(c_fval, INT_MIN32 + 2), INT_MIN32
+            )
+            c_resti = jnp.stack([c_ia, c_ibx, c_lpx], axis=1)
+            c_poolf = jnp.stack([c_sc, c_re, c_mx], axis=1)
+
+        # ---- trace append at the step's fixed block (scatter-free)
+        trace3 = jax.lax.dynamic_update_slice(trace3, tr_i, (zero, zero, tpos))
+        treal = jax.lax.dynamic_update_slice(treal, tr_f, (zero, tpos))
+
+        # ---- inter-goal update
+        better = active_pre & (best_ev > inter_val)
+        inter_val = jnp.where(better, best_ev, inter_val)
+        inter_idx = jnp.where(better, best_pos, inter_idx)
 
         # ---- append the whole candidate block at one shared offset
-        c_fval = jnp.where(cvalid, jnp.maximum(c_fval, INT_MIN32 + 2), INT_MIN32)
-        dus2 = lambda a, blk: jax.lax.dynamic_update_slice(a, blk, (zero, next_free))  # noqa: E731
-        fval = dus2(fval, c_fval)
-        ia = dus2(ia, c_ia)
-        ibx = dus2(ibx, c_ibx)
-        lpx = dus2(lpx, c_lpx)
-        fsc = dus2(fsc, c_sc)
-        fre = dus2(fre, c_re)
-        fmx = dus2(fmx, c_mx)
+        fval = jax.lax.dynamic_update_slice(fval, c_fval, (zero, next_free))
+        resti = jax.lax.dynamic_update_slice(
+            resti, c_resti, (zero, zero, next_free)
+        )
+        poolf = jax.lax.dynamic_update_slice(
+            poolf, c_poolf, (zero, zero, next_free)
+        )
         next_free = next_free + CAND
 
         return (
-            fval, ia, ibx, lpx, fsc, fre, fmx,
-            tnode, tpack, tparent, treal, trace_len,
+            fval, resti, poolf,
+            trace3, treal, trace_len,
             active, done_partial, goal_idx, inter_idx, inter_val, overflow,
             expansions, cached_entry, cached_at, next_free, step + 1,
         )
 
     def inner_cond(carry):
-        active = carry[12]
+        active = carry[6]
         next_free = carry[-2]
         step = carry[-1]
         return (
@@ -946,18 +1010,18 @@ def wavefront_search_merged(
         return compact(carry)
 
     def outer_cond(carry):
-        active = carry[12]
+        active = carry[6]
         step = carry[-1]
         return jnp.any(active) & (step < config.max_steps)
 
     # handle immediate-goal seeds: record start as trace[0]
-    tnode = tnode.at[:, 0].set(s_node)
-    tpack = tpack.at[:, 0].set(
+    trace3 = trace3.at[:, 0, 0].set(s_node)
+    trace3 = trace3.at[:, 1, 0].set(
         start_ints[:, NI_NE]
         | (s_state << 9)
         | (s_sno << 11)
     )
-    tparent = tparent.at[:, 0].set(start_ints[:, NI_PARENT])
+    trace3 = trace3.at[:, 2, 0].set(start_ints[:, NI_PARENT])
     treal = treal.at[:, 0].set(start_floats[:, NF_REAL])
     trace_len = jnp.where(start_is_goal, 1, trace_len)
     goal_idx = jnp.where(start_is_goal, 0, goal_idx)
@@ -970,30 +1034,26 @@ def wavefront_search_merged(
         inter_val,
     )
 
-    if cache_a is None:
-        cache_a = jnp.full((2, 8), -1, jnp.int32)
-        cache_b = jnp.full((2, 8), -1, jnp.int32)
-        cache_val = jnp.full((2, 8), -1, jnp.int32)
+    if cache_tab is None:
+        cache_tab = jnp.full((2, 8, 16), -1, jnp.int32)
 
     carry = (
-        fval, ia, ibx, lpx, fsc, fre, fmx,
-        tnode, tpack, tparent, treal, trace_len,
+        fval, resti, poolf,
+        trace3, treal, trace_len,
         active, done_partial, goal_idx, inter_idx, inter_val, overflow,
         expansions, cached_entry, cached_at, next_free,
         jnp.zeros((), jnp.int32),
     )
     carry = jax.lax.while_loop(outer_cond, outer_body, carry)
     (
-        fval, ia, ibx, lpx, fsc, fre, fmx,
-        tnode, tpack, tparent, treal, trace_len,
+        fval, resti, poolf,
+        trace3, treal, trace_len,
         active, done_partial, goal_idx, inter_idx, inter_val, overflow,
         expansions, cached_entry, cached_at, next_free, steps,
     ) = carry
 
     return {
-        "tnode": tnode,
-        "tpack": tpack,
-        "tparent": tparent,
+        "trace3": trace3,
         "treal": treal,
         "trace_len": trace_len,
         "goal_idx": goal_idx,

@@ -177,13 +177,17 @@ def test_wavefront_path_cache(setup):
 
 
 def test_wavefront_pallas_selection(setup):
-    """Fused Pallas pool-selection (interpret mode on CPU): same contigs."""
+    """Fused Pallas select+kill AND expand kernels (interpret mode on CPU):
+    same contigs as the serial oracle."""
     sc, dbg, seeds, fwd, rev = setup
     n = 6
     expected = oracle_contigs(dbg, seeds, fwd, rev, n)
     bs = BatchSearcher(
         dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
-        WavefrontConfig(pool_size=1 << 12, max_steps=1 << 10, use_pallas=True),
+        WavefrontConfig(
+            pool_size=1 << 12, max_steps=1 << 10,
+            use_pallas=True, use_pallas_expand=True,
+        ),
         dtype=jnp.float64,
         chunk=8,
     )

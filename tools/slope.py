@@ -44,7 +44,7 @@ for i in range(S):
 
 pts = []
 for ms in STEPS:
-    cfg = WavefrontConfig(pool_size=1 << PL, max_steps=ms, expand_width=B, cand_cap=CAP, use_pallas=PALLAS)
+    cfg = WavefrontConfig(pool_size=1 << PL, max_steps=ms, expand_width=B, cand_cap=CAP, use_pallas=PALLAS, use_pallas_expand=bool(int(os.environ.get('PEXP','0'))))
     t0 = time.perf_counter()
     res = wavefront_search_merged(graph, hmmd, dirs, jnp.asarray(si), jnp.asarray(sf, jnp.float32), cfg, fwd.model_length)
     jax.block_until_ready(res); compile_t = time.perf_counter() - t0

@@ -43,6 +43,7 @@ def main():
             use_cache=use_cache,
             cand_cap=cap,
             use_pallas=bool(int(os.environ.get("PALLAS", "0"))),
+            use_pallas_expand=bool(int(os.environ.get("PEXP", "0"))),
             pool_size=1 << pool_log2,
         ),
         dtype=jnp.float32,
