@@ -20,10 +20,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..constants import AA_CHARS, aa_to_str, dna_to_str
+from ..constants import AA_CHARS, CODON_TABLE_FLAT, aa_to_str, dna_to_str
 from ..io.read_lib import ReadPackage
-from ..ops.dna import revcomp
-from .translate import translate_codes
 
 __all__ = ["ref_kmer_set", "find_seeds", "Seed", "model_kmers"]
 
@@ -76,35 +74,87 @@ def ref_kmer_set(aligned_faa_records, k: int) -> dict[str, int]:
     return table
 
 
-def _aa_window_keys(aa: np.ndarray, k: int):
-    """Pack all k-length aa windows into (hi, lo) uint64 keys (5 bits/char)."""
-    n = len(aa) - k + 1
-    if n <= 0:
-        return np.zeros((0, 2), np.uint64), np.zeros(0, np.int64)
-    win = np.lib.stride_tricks.sliding_window_view(aa, k).astype(np.uint64)
-    half = k // 2
-    hi = np.zeros(n, np.uint64)
-    lo = np.zeros(n, np.uint64)
-    for j in range(half):
-        hi = (hi << np.uint64(5)) | win[:, j]
-    for j in range(half, k):
-        lo = (lo << np.uint64(5)) | win[:, j]
-    valid = (win < 20).all(axis=1)  # windows containing '*' or 'X' never match
-    return np.stack([hi, lo], axis=1), np.flatnonzero(valid)
-
-
 def _pack_aa_str(s: str, k: int):
     from ..constants import str_to_aa
 
-    aa = str_to_aa(s).astype(np.uint64)
+    aa = str_to_aa(s).astype(np.int64)
     half = k // 2
-    hi = np.uint64(0)
-    lo = np.uint64(0)
+    hi = 0
+    lo = 0
     for j in range(half):
-        hi = (hi << np.uint64(5)) | aa[j]
+        hi = (hi << 5) | int(aa[j])
     for j in range(half, k):
-        lo = (lo << np.uint64(5)) | aa[j]
+        lo = (lo << 5) | int(aa[j])
     return hi, lo
+
+
+def _arena_rc(flat: np.ndarray, starts: np.ndarray):
+    """Reverse-complement of a concatenated arena as one contiguous flip.
+
+    Flipping the whole arena reverse-complements every read AND reverses
+    the read order; seed scanning is order-independent, so only the
+    boundary offsets need remapping."""
+    n = int(starts[-1])
+    return (3 - flat[::-1]).astype(flat.dtype), (n - starts)[::-1].copy()
+
+
+_PREFILTER_BITS = 22
+
+
+def _scan_arena(flat, starts, k, ref, found):
+    """One pass over a concatenated strand arena: every nucleotide position
+    is a candidate 3k-window start (all 3 frames at once), packed into two
+    5-bit/aa int64 keys and joined against the sorted reference keys.
+
+    Replaces the reference's per-read, per-frame hash-probe loop
+    (src/fast_kmer_filter.cpp:195-217) with whole-arena array ops. The hi
+    half-key is computed for every position and screened through a dense
+    bit table of reference hi-prefixes; the lo half-key and the exact
+    sort-merge join run only on survivors.
+    """
+    ref_hi, ref_lo, ref_pos, max_run, table, shift = ref
+    span = 3 * k
+    N = len(flat)
+    if N < span or len(ref_hi) == 0:
+        return
+    c = flat.astype(np.int16)
+    aa = CODON_TABLE_FLAT[c[:-2] * 16 + c[1:-1] * 4 + c[2:]]  # int8 aa codes
+    M = N - span + 1
+    lengths = np.diff(starts)
+    rid = np.repeat(np.arange(len(lengths), dtype=np.int32), lengths)
+    half = k // 2
+    # int64 keys (uint64 shifts are ~30x slower in numpy): hi holds
+    # half*5 <= 35 bits, lo (k-half)*5 <= 40 bits — both fit signed 64.
+    hi = np.zeros(M, np.int64)
+    valid = rid[:M] == rid[span - 1 :]  # window fully inside one read
+    for j in range(k):
+        w8 = aa[3 * j : 3 * j + M]
+        valid &= w8 < 20  # '*'/'X' windows never match
+        if j < half:
+            np.multiply(hi, 32, out=hi)
+            np.add(hi, w8, out=hi)
+    valid &= table[hi >> shift]
+    q = np.flatnonzero(valid)
+    if q.size == 0:
+        return
+    qhi = hi[q]
+    qlo = np.zeros(q.size, np.int64)
+    for j in range(half, k):
+        np.multiply(qlo, 32, out=qlo)
+        np.add(qlo, aa[q + 3 * j], out=qlo)
+    a = np.searchsorted(ref_hi, qhi, side="left")
+    b = np.searchsorted(ref_hi, qhi, side="right")
+    hit = np.full(q.size, -1, np.int64)
+    last = len(ref_lo) - 1
+    for t in range(max_run):  # bounded by the largest hi-key run (tiny)
+        idx = a + t
+        ok = (idx < b) & (ref_lo[np.minimum(idx, last)] == qlo) & (hit < 0)
+        hit = np.where(ok, idx, hit)
+    for p, h in zip(q[hit >= 0], hit[hit >= 0]):
+        nucl = dna_to_str(flat[p : p + span])
+        if nucl not in found:
+            prot = aa_to_str(aa[p : p + span : 3][:k])
+            found[nucl] = Seed(nucl, prot, int(ref_pos[h]))
 
 
 def find_seeds(
@@ -112,51 +162,56 @@ def find_seeds(
     ref_set: dict[str, int],
     kmer_size: int,
     extra_packages: list[ReadPackage] = (),
+    chunk_bases: int = 1 << 23,
 ) -> list[Seed]:
     """Scan reads (+ optional previous-k contig packages), both strands,
-    3 frames each, and return deduplicated seeds sorted by nucl k-mer."""
+    3 frames each, and return deduplicated seeds sorted by nucl k-mer.
+
+    Memory is bounded: arenas are processed in read-aligned chunks of at
+    most ~chunk_bases bases (mirroring the reference's 4M-read batching,
+    src/read_lib_functions-inl.h:178-179)."""
     k = kmer_size // 3
     ref_kmers = sorted(ref_set)
-    ref_keys = np.array([_pack_aa_str(s, k) for s in ref_kmers], np.uint64).reshape(-1, 2) if ref_kmers else np.zeros((0, 2), np.uint64)
-    ref_pos = np.array([ref_set[s] for s in ref_kmers], np.int64)
+    half = k // 2
+    shift = max(0, 5 * half - _PREFILTER_BITS)
+    if ref_kmers:
+        keys = np.array([_pack_aa_str(s, k) for s in ref_kmers], np.int64)
+        keys = keys.reshape(-1, 2)
+        order = np.lexsort((keys[:, 1], keys[:, 0]))
+        ref_hi, ref_lo = (
+            np.ascontiguousarray(keys[order, 0]),
+            np.ascontiguousarray(keys[order, 1]),
+        )
+        ref_pos = np.array([ref_set[s] for s in ref_kmers], np.int64)[order]
+        max_run = int(np.unique(ref_hi, return_counts=True)[1].max())
+    else:
+        ref_hi = ref_lo = np.zeros(0, np.int64)
+        ref_pos = np.zeros(0, np.int64)
+        max_run = 0
+    table = np.zeros(1 << max(1, 5 * half - shift), bool)
+    table[ref_hi >> shift] = True
+    ref = (ref_hi, ref_lo, ref_pos, max_run, table, shift)
 
     found: dict[str, Seed] = {}
 
-    def scan_codes(codes: np.ndarray):
-        if len(codes) < kmer_size:
-            return
-        for strand_codes in (codes, revcomp(codes)):
-            for frame in range(3):
-                aa = translate_codes(strand_codes[frame:])
-                keys, valid = _aa_window_keys(aa, k)
-                if valid.size == 0:
-                    continue
-                kv = keys[valid]
-                if len(ref_keys) == 0:
-                    continue
-                # sort-merge join against ref keys (sorted by (hi, lo))
-                i0 = np.searchsorted(ref_keys[:, 0], kv[:, 0], side="left")
-                for j in range(len(kv)):
-                    i = int(i0[j])
-                    hit = -1
-                    while i < len(ref_keys) and ref_keys[i, 0] == kv[j, 0]:
-                        if ref_keys[i, 1] == kv[j, 1]:
-                            hit = i
-                            break
-                        i += 1
-                    if hit >= 0:
-                        aa_start = int(valid[j])  # window start, aa coords
-                        nucl_pos = aa_start * 3 + frame
-                        nucl = dna_to_str(strand_codes[nucl_pos : nucl_pos + kmer_size])
-                        prot = aa_to_str(aa[aa_start : aa_start + k])
-                        if nucl not in found:
-                            found[nucl] = Seed(nucl, prot, int(ref_pos[hit]))
+    def scan_package(pkg: ReadPackage):
+        starts = pkg.starts
+        r0 = 0
+        while r0 < pkg.num_reads:
+            r1 = int(
+                np.searchsorted(starts, starts[r0] + chunk_bases, side="left")
+            )
+            r1 = min(max(r1, r0 + 1), pkg.num_reads)
+            sub = starts[r0 : r1 + 1] - starts[r0]
+            flat = pkg.flat[starts[r0] : starts[r1]]
+            _scan_arena(flat, sub, k, ref, found)
+            rc_flat, rc_starts = _arena_rc(flat, sub)
+            _scan_arena(rc_flat, rc_starts, k, ref, found)
+            r0 = r1
 
-    for i in range(package.num_reads):
-        scan_codes(package.read(i))
+    scan_package(package)
     for pkg in extra_packages:
-        for i in range(pkg.num_reads):
-            scan_codes(pkg.read(i))
+        scan_package(pkg)
 
     return [found[n] for n in sorted(found)]
 
