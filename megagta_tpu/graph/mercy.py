@@ -122,75 +122,78 @@ def solid_windows_with_mercy(
     kmer_solid_out = (full_out_cnt >= threshold).any(axis=1)  # l_has_out
     kmer_solid_in = (full_in_cnt >= threshold).any(axis=1)  # r_has_in
 
-    # ---- per-read candidate arrays --------------------------------------
-    # index helpers: window w at read r offset p -> global window idx;
-    # k-mer at offset p -> global k-mer idx
+    # ---- per-k-mer flags (global scatter-OR) -----------------------------
+    # In the reference's per-position loop every window writes flags at its
+    # left k-mer (offset p) and right k-mer (p+1) from precomputed inputs
+    # only — no flag is read back — so the whole pass is a scatter-OR over
+    # k-mer indices (s2 :150-208 semantics).
     win_base = np.concatenate([[0], np.cumsum(np.maximum(lens - k, 0))])
     km_base = np.concatenate([[0], np.cumsum(np.maximum(lens - k + 1, 0))])
 
+    total_k = len(km_win)
+    no_in = np.zeros(total_k, bool)
+    no_out = np.zeros(total_k, bool)
+    has_solid = np.zeros(total_k, bool)
+
+    short_w = read_id < num_short
+    lk = km_base[read_id] + offs  # global k-mer index left of each window
+    rk = lk + 1
+    ws = solid & short_w
+    nsw = (~solid) & short_w
+    h_in_l = kmer_has_in[lk]
+    h_out_r = kmer_has_out[rk]
+
+    def mark(arrs, mask, idx):
+        sel = idx[mask]
+        for a in arrs:
+            a[sel] = True
+
+    # solid windows
+    mark((no_in, has_solid), ws & ~h_in_l, lk)
+    mark((no_out, has_solid), ws & ~h_out_r, rk)
+    # non-solid windows: left k-mer judged by (solid out-edge?, proxy in?)
+    s_out_l = kmer_solid_out[lk]
+    mark((has_solid,), nsw & s_out_l, lk)
+    mark((no_in,), nsw & s_out_l & ~h_in_l, lk)
+    mark((no_out, has_solid), nsw & ~s_out_l & h_in_l, lk)
+    # non-solid windows: right k-mer judged by (solid in-edge?, proxy out?)
+    s_in_r = kmer_solid_in[rk]
+    mark((has_solid,), nsw & s_in_r, rk)
+    mark((no_out,), nsw & s_in_r & ~h_out_r, rk)
+    mark((no_in, has_solid), nsw & ~s_in_r & h_out_r, rk)
+
+    # solid windows flank their k-mers (s2 :210-214)
+    hs = has_solid
+    hs[lk[ws]] = True
+    hs[rk[ws]] = True
+
+    # ---- gap rescue as a segmented last-event scan -----------------------
+    # State after position i: last_no_out = i if no_out[i] (set wins over
+    # the hs reset at the same i), -1 if hs[i], else carried. Equivalent to
+    # "index of the last event <= i, if that event was a no_out". A rescue
+    # fires at i when no_in[i] and the carried state is valid; it marks the
+    # window range [state, i) — accumulated as interval coverage.
+    gi = np.arange(total_k, dtype=np.int64)
+    seg_start = km_base[km_read]
+    event = no_out | hs
+    last_event = np.maximum.accumulate(np.where(event, gi, -1))
+    j = np.where(last_event >= seg_start, last_event, -1)  # clip to own read
+    state = np.where((j >= 0) & no_out[np.maximum(j, 0)], j, -1)
+    s_prev = np.empty(total_k, np.int64)
+    if total_k:
+        s_prev[0] = -1
+        s_prev[1:] = state[:-1]
+        s_prev[gi == seg_start] = -1
+
+    res = no_in & (s_prev >= 0) & (km_read < num_short)
     mercy_solid = solid.copy()
-    num_mercy = 0
-    for r in range(num_short):
-        L = int(lens[r])
-        nw = L - k  # windows
-        nk = L - k + 1  # k-mers
-        if nw <= 0:
-            continue
-        wb, kb = int(win_base[r]), int(km_base[r])
-        w_solid = solid[wb : wb + nw]
-        no_in = np.zeros(nk, bool)
-        no_out = np.zeros(nk, bool)
-        has_solid = np.zeros(nk, bool)
-
-        h_in = kmer_has_in[kb : kb + nk]
-        h_out = kmer_has_out[kb : kb + nk]
-        s_out = kmer_solid_out[kb : kb + nk]
-        s_in = kmer_solid_in[kb : kb + nk]
-
-        for p in range(nw):
-            if w_solid[p]:
-                if not h_in[p]:
-                    no_in[p] = True
-                    has_solid[p] = True
-                if not h_out[p + 1]:
-                    no_out[p + 1] = True
-                    has_solid[p + 1] = True
-            else:
-                # left k-mer judged by (solid out-edge?, proxy in-edge?)
-                if s_out[p]:
-                    has_solid[p] = True
-                    if not h_in[p]:
-                        no_in[p] = True
-                elif h_in[p]:
-                    no_out[p] = True
-                    has_solid[p] = True
-                # right k-mer judged by (solid in-edge?, proxy out-edge?)
-                if s_in[p + 1]:
-                    has_solid[p + 1] = True
-                    if not h_out[p + 1]:
-                        no_out[p + 1] = True
-                elif h_out[p + 1]:
-                    no_in[p + 1] = True
-                    has_solid[p + 1] = True
-
-        if not (no_in.any() and no_out.any()):
-            continue
-        if np.flatnonzero(no_in).max() < np.flatnonzero(no_out).min():
-            continue
-
-        # solid windows flank their k-mers (s2 :210-214)
-        hs = has_solid.copy()
-        sw = np.flatnonzero(w_solid)
-        hs[sw] = True
-        hs[sw + 1] = True
-
-        last_no_out = -1
-        for i in range(nk):
-            if no_in[i] and last_no_out != -1:
-                mercy_solid[wb + last_no_out : wb + i] = True
-                num_mercy += i - last_no_out
-            if hs[i]:
-                last_no_out = -1
-            if no_out[i]:
-                last_no_out = i
+    if res.any():
+        r_ids = km_read[res]
+        off = win_base[r_ids] - km_base[r_ids]
+        w_start = s_prev[res] + off
+        w_end = gi[res] + off
+        d = np.zeros(n_win + 1, np.int64)
+        np.add.at(d, w_start, 1)
+        np.add.at(d, w_end, -1)
+        mercy_solid |= np.cumsum(d[:-1]) > 0
     return mercy_solid
