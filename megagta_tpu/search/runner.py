@@ -259,12 +259,17 @@ class BatchSearcher:
         self.graph = DeviceGraph.from_sdbg(self.dbg, self.config.precompute_hops)
         self.dev_fwd = DeviceHMM.from_profile(self.fwd_hmm, self.fwd_h, self.dtype)
         self.dev_rev = DeviceHMM.from_profile(self.rev_hmm, self.rev_h, self.dtype)
-        if self.fwd_hmm.model_length != self.rev_hmm.model_length:
-            raise ValueError(
-                "forward/reverse HMM lengths differ; the reverse model must "
-                "be built from the column-reversed alignment"
-            )
-        self.hmm_stack = DeviceHMM.stack(self.dev_fwd, self.dev_rev)
+        # Independently hmmbuilt fwd/rev models (bin/prepare_gene_ref.sh runs
+        # hmmbuild twice) may disagree by a column; the merged fwd+rev run
+        # needs one model length, so unequal models fall back to two
+        # direction-homogeneous runs (reference runs them separately anyway,
+        # src/search.cpp:124-162).
+        self.merged = self.fwd_hmm.model_length == self.rev_hmm.model_length
+        if self.merged:
+            self.hmm_stack = DeviceHMM.stack(self.dev_fwd, self.dev_rev)
+        else:
+            self.hmm_stack_f = DeviceHMM.stack(self.dev_fwd, self.dev_fwd)
+            self.hmm_stack_r = DeviceHMM.stack(self.dev_rev, self.dev_rev)
         self.last_stats: dict = {}
         self.cache_f = _PathCache() if self.config.use_cache else None
         self.cache_r = _PathCache() if self.config.use_cache else None
@@ -353,17 +358,51 @@ class BatchSearcher:
 
         # one merged run: rows [0:S] forward, [S:2S] reverse
         tab = self._cache_tables() if self.cache_f else None
-        dirs = np.concatenate([np.zeros(S, np.int32), np.ones(S, np.int32)])
-        res = wavefront_search_merged(
-            self.graph,
-            self.hmm_stack,
-            self._place(jnp.asarray(dirs)),
-            self._place(jnp.asarray(np.concatenate([si_f, si_r]))),
-            self._place(jnp.asarray(np.concatenate([sf_f, sf_r]), self.dtype)),
-            self.config,
-            self.fwd_hmm.model_length,
-            tab,
-        )
+        if self.merged:
+            dirs = np.concatenate([np.zeros(S, np.int32), np.ones(S, np.int32)])
+            res = wavefront_search_merged(
+                self.graph,
+                self.hmm_stack,
+                self._place(jnp.asarray(dirs)),
+                self._place(jnp.asarray(np.concatenate([si_f, si_r]))),
+                self._place(jnp.asarray(np.concatenate([sf_f, sf_r]), self.dtype)),
+                self.config,
+                self.fwd_hmm.model_length,
+                tab,
+            )
+        else:
+            # unequal model lengths: one homogeneous run per direction,
+            # results concatenated into the merged row layout [0:S] fwd,
+            # [S:2S] rev (parent indices in trace3 are row-local, so plain
+            # axis-0 concatenation preserves traceback)
+            halves = []
+            for stack, hmm_, si, sf, d in (
+                (self.hmm_stack_f, self.fwd_hmm, si_f, sf_f, 0),
+                (self.hmm_stack_r, self.rev_hmm, si_r, sf_r, 1),
+            ):
+                halves.append(
+                    wavefront_search_merged(
+                        self.graph,
+                        stack,
+                        self._place(jnp.full((S,), d, jnp.int32)),
+                        self._place(jnp.asarray(si)),
+                        self._place(jnp.asarray(sf, self.dtype)),
+                        self.config,
+                        hmm_.model_length,
+                        tab,
+                    )
+                )
+            rf, rr = halves
+            res = {
+                k: (
+                    rf[k] + rr[k]
+                    if k in ("expansions", "steps")
+                    else jnp.concatenate(
+                        [jnp.atleast_1d(rf[k]), jnp.atleast_1d(rr[k])], axis=0
+                    )
+                )
+                for k in rf
+            }
         self.last_stats["expansions"] += int(res["expansions"])
         self.last_stats["steps"] += int(res["steps"])
         self.last_stats["overflow"] += int(np.asarray(res["overflow"]).sum())

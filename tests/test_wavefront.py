@@ -211,3 +211,36 @@ def test_wavefront_raw_tables_match_hop_tables(setup):
         )
         outs.append(bs.search([(s.nucl.lower(), s.model_pos - 1) for s in seeds[:n]]))
     assert outs[0] == outs[1]
+
+
+def test_wavefront_unequal_hmm_lengths(setup, tmp_path):
+    """Real gene resources build fwd/rev HMMs with independent hmmbuild runs
+    (bin/prepare_gene_ref.sh), so the models can disagree by a column. The
+    searcher must fall back to direction-homogeneous runs and still match
+    the serial oracle (which always runs the directions separately)."""
+    from megagta_tpu.models.build import build_hmm_tables, write_hmm
+    from megagta_tpu.constants import AA_ALPHABET
+
+    sc, dbg, seeds, fwd, rev = setup
+    # reverse alignment with one extra all-residue column -> one extra
+    # match state at the start of the reverse model
+    rev_rows = [s[::-1] + "A" for s in sc["aligned_seqs"]] if isinstance(
+        sc.get("aligned_seqs"), list
+    ) else [s[::-1] + "A" for _, s in sc["aligned"]]
+    mp, ip, tp, compo, _ = build_hmm_tables(rev_rows)
+    p = tmp_path / "rev2.hmm"
+    write_hmm(str(p), "wfg_rev2", mp, ip, tp, compo, AA_ALPHABET)
+    rev2 = parse_hmm(str(p))
+    assert rev2.model_length == fwd.model_length + 1
+
+    n = min(8, len(seeds))
+    expected = oracle_contigs(dbg, seeds, fwd, rev2, n)
+    bs = BatchSearcher(
+        dbg, fwd, rev2, heuristic_table(fwd), heuristic_table(rev2),
+        WavefrontConfig(pool_size=1 << 13, max_steps=1 << 11),
+        dtype=jnp.float64,
+        chunk=16,
+    )
+    assert not bs.merged
+    got = bs.search([(s.nucl.lower(), s.model_pos - 1) for s in seeds[:n]])
+    assert got == expected
