@@ -6,12 +6,20 @@ reconstructs contigs from compact device-extracted parent chains (the
 goal-selection and traceback rules of hmm_graph_search.h:83-109,345-356).
 
 Data-movement design (the TPU here sits behind a network tunnel, so
-host<->device bytes are the scarcest resource):
-  * traceback runs ON DEVICE (wavefront.extract_chains); only [rows, maxc]
-    compact chains come back, never the [rows, T, 8] trace arenas;
+host<->device bytes AND round trips are the scarcest resources):
+  * the trace arenas are sliced on device to the actual trace length
+    (known once the step counter is fetched) before traceback;
+  * traceback runs ON DEVICE (wavefront.extract_chains, a backward sweep +
+    one sort); only [rows, lmax] compact chains come back, stacked into a
+    single transfer — never the [rows, T, 8] trace arenas;
+  * every small per-seed output rides in ONE packed array (`meta`) and the
+    scalars in another (`scal`): three host fetches per chunk total;
   * the cross-seed path-cache tables live on device permanently and are
     updated by scattering just the new entries (donated buffers), never
-    re-uploaded.
+    re-uploaded;
+  * all per-seed host math (start scoring, contig/suffix assembly) is
+    vectorized numpy over the chunk; contig strings are slices of one
+    shared per-row emission string.
 """
 
 from __future__ import annotations
@@ -23,11 +31,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import str_to_dna
+from ..constants import CODON_TABLE_FLAT, str_to_dna
 from ..graph.sdbg import SdBG
-from ..hmm.profile import PROTEIN, ProfileHMM
-from ..seeds.translate import translate_codes
-from .astar import HMMGraphSearch
+from ..hmm.profile import MM, PROTEIN, ProfileHMM
 from .wavefront import (
     DeviceGraph,
     DeviceHMM,
@@ -39,6 +45,48 @@ from .wavefront import (
 __all__ = ["BatchSearcher"]
 
 
+def _make_starts(
+    hmm: ProfileHMM,
+    codes: np.ndarray,  # [N, n] DNA codes (one length group)
+    start_states: np.ndarray,  # [N]
+    node_ids: np.ndarray,  # [N]
+    forward: bool,
+):
+    """Vectorized start-node construction (start scoring of
+    hmm_graph_search.h:112-130 over a whole seed batch).
+
+    The per-residue accumulation stays a sequential Python loop over the
+    ~15 seed residues (vectorized across seeds) so the float64 summation
+    order is bit-identical to the serial oracle's score_start."""
+    N, n = codes.shape
+    if hmm.alphabet == PROTEIN:
+        c = codes.reshape(N, -1, 3).astype(np.int64)
+        aa = CODON_TABLE_FLAT[c[:, :, 0] * 16 + c[:, :, 1] * 4 + c[:, :, 2]]
+        if not forward:
+            aa = aa[:, ::-1]
+        n_res = n // 3
+    else:
+        aa = codes.astype(np.int64)
+        n_res = n
+    ss = start_states.astype(np.int64)
+    real = np.zeros(N, np.float64)
+    score = np.zeros(N, np.float64)
+    for i in range(n_res):
+        col = ss + 1 + i
+        mt = hmm.msc[col, aa[:, i]] + hmm.trans[col - 1, MM]
+        real += mt
+        score += mt - hmm.mme[col]
+    ints = np.zeros((N, 8), np.int32)
+    ints[:, 0] = node_ids
+    ints[:, 1] = ss + n_res
+    ints[:, 5] = n_res
+    ints[:, 6] = -1
+    floats = np.zeros((N, 3), np.float64)
+    floats[:, 0] = score
+    floats[:, 1] = real
+    return ints, floats
+
+
 def _make_start(
     hmm: ProfileHMM,
     start_state: int,
@@ -47,29 +95,24 @@ def _make_start(
     dbg: SdBG,
     node_id: int | None = None,
 ):
+    """Single-seed convenience wrapper over _make_starts."""
     codes = str_to_dna(framed_word)
-    if hmm.alphabet == PROTEIN:
-        aa = translate_codes(codes)
-        if not forward:
-            aa = aa[::-1]
-        n_res = len(framed_word) // 3
-    else:
-        aa = codes
-        n_res = len(framed_word)
-    score, real = HMMGraphSearch.score_start(hmm, aa, start_state)
     if node_id is None:
         lookup = codes if forward else (3 - codes)[::-1]
         node_id = int(dbg.lookup_edge(lookup))
-    ints = np.array(
-        [node_id, start_state + n_res, 0, 0, 0, n_res, -1, 0], np.int32
+    ints, floats = _make_starts(
+        hmm,
+        codes[None, :],
+        np.array([start_state], np.int64),
+        np.array([node_id], np.int64),
+        forward,
     )
-    floats = np.array([score, real, 0.0], np.float64)
-    return ints, floats
+    return ints[0], floats[0]
 
 
-def _batch_lookup(dbg: SdBG, seeds: list[tuple[str, int]]) -> tuple[np.ndarray, np.ndarray]:
-    """Edge rows for all seeds' forward + reverse-complement words in as few
-    vectorized lookup_edges calls as word lengths require."""
+def _batch_lookup(dbg: SdBG, seeds: list[tuple[str, int]]):
+    """Edge rows + code arrays for all seeds' forward + reverse-complement
+    words, grouped by word length (one vectorized lookup per group)."""
     fwd = np.full(len(seeds), -1, np.int64)
     rev = np.full(len(seeds), -1, np.int64)
     by_len: dict[int, list[int]] = {}
@@ -78,11 +121,13 @@ def _batch_lookup(dbg: SdBG, seeds: list[tuple[str, int]]) -> tuple[np.ndarray, 
         codes = str_to_dna(nucl)
         codes_all.append(codes)
         by_len.setdefault(len(codes), []).append(i)
+    groups = []
     for n, idxs in by_len.items():
         fw = np.stack([codes_all[i] for i in idxs])
         fwd[idxs] = dbg.lookup_edges(fw)
         rev[idxs] = dbg.lookup_edges((3 - fw)[:, ::-1])
-    return fwd, rev
+        groups.append((np.asarray(idxs), fw))
+    return fwd, rev, groups
 
 
 # ---- compact chain helpers (child -> root order; packed = ne | state<<9 |
@@ -91,78 +136,59 @@ def _batch_lookup(dbg: SdBG, seeds: list[tuple[str, int]]) -> tuple[np.ndarray, 
 _EMIT_LUT = np.frombuffer(b"acgt-???", dtype=np.uint8)
 
 
-def _contigs_from_chains(packed: np.ndarray, reals: np.ndarray) -> list[str]:
-    """Vectorized getHighestScoreNode + partialResultFromGoal over all rows.
+def _chain_strings(packed: np.ndarray, reals: np.ndarray):
+    """Per-row shared emission strings + offsets, vectorized.
 
-    packed/reals: [R, C]. Per row: best = first max real_score scanning
-    tip->root; contig = emissions of chain indices n-2 .. best in root->tip
-    order (delete states emit nothing)."""
+    packed/reals: [R, C] chains in child->root order. Returns
+    (full [R] bytes, ends [R, C] int32, n [R], best [R]):
+      * full[r]   = all emissions of chain indices n-2 .. 0 in root->tip
+                    order (delete states emit nothing, the root emits
+                    nothing) — the composite contig body,
+      * ends[r,i] = char offset in full[r] just PAST chain index i's
+                    emission (0 for i >= n-1),
+      * best[r]   = first index of the max real_score scanning tip->root
+                    (getHighestScoreNode's strict-greater replacement rule
+                    == argmax's first-occurrence tie-break).
+    The plain contig (partialResultFromGoal, hmm_graph_search.h:83-109) is
+    full[r][: ends[r, best[r]]]."""
     R, C = packed.shape
     valid = packed >= 0
-    n = valid.sum(axis=1)
+    n = valid.sum(axis=1).astype(np.int64)
     rm = np.where(valid, reals, -np.inf)
-    best = np.argmax(rm, axis=1)  # first occurrence == reference replace rule
-    ne = packed & 0x1FF
+    best = np.argmax(rm, axis=1)
     state = (packed >> 9) & 3
+    ne = packed & 0x1FF
     chars = np.stack(
         [_EMIT_LUT[(ne >> 6) & 7], _EMIT_LUT[(ne >> 3) & 7], _EMIT_LUT[ne & 7]],
         axis=2,
     )  # [R, C, 3]
     idx = np.arange(C)[None, :]
-    keep = (
-        valid
-        & (state != 2)
-        & (idx >= best[:, None])
-        & (idx <= (n - 2)[:, None])
-    )
-    chars_f = chars[:, ::-1]
-    keep_f = keep[:, ::-1]
-    return [chars_f[r][keep_f[r]].tobytes().decode() for r in range(R)]
-
-
-def _n_valid(packed: np.ndarray) -> int:
-    valid = packed >= 0
-    return int(valid.sum())
-
-
-def _emission_packed(packed: int) -> str:
-    state = (packed >> 9) & 3
-    if state == 2:  # delete nodes emit nothing
-        return ""
-    ne = packed & 0x1FF
-    return "".join("acgt-"[(ne >> (3 * i)) & 7] for i in (2, 1, 0))
-
-
-def _first_max(reals: np.ndarray, n: int) -> int:
-    """Index of the max real_score, first occurrence scanning tip->root
-    (getHighestScoreNode's strict-greater replacement rule == argmax's
-    first-occurrence tie-break)."""
-    return int(np.argmax(reals[:n])) if n else 0
-
-
-def _contig_from_chain(packed: np.ndarray, reals: np.ndarray) -> str:
-    """getHighestScoreNode + partialResultFromGoal combined."""
-    n = _n_valid(packed)
-    if n == 0:
-        return ""
-    best = _first_max(reals, n)
-    # root..best, root itself emits nothing (trace parent < 0)
-    return "".join(_emission_packed(int(packed[i])) for i in range(n - 2, best - 1, -1))
+    emits = valid & (state != 2) & (idx <= (n - 2)[:, None])
+    # root -> tip order = descending chain index: work on reversed arrays
+    emits_r = emits[:, ::-1]
+    chars_r = chars[:, ::-1]
+    el_r = np.where(emits_r, 3, 0)
+    cums_r = np.cumsum(el_r, axis=1, dtype=np.int32)  # inclusive
+    ends = cums_r[:, ::-1].copy()  # ends[r, i] = cums_r[r, C-1-i]
+    full = [chars_r[r][emits_r[r]].tobytes() for r in range(R)]
+    return full, ends, n, best
 
 
 class _PathCache:
     """Host side of the cross-seed path cache (term-node equivalent).
 
-    Holds identity -> (suffix string after the node on a goal path, max
-    real_score downstream). The bucketized table probed by the wavefront
-    kernel lives on device as [2, HB, 16] rows (4 slots: cols 0-3 key a,
-    4-7 key b, 8-11 entry index — one 64 B row gather per probe);
-    `pending` accumulates (bucket, slot, a, b, val) scatter updates."""
+    Holds identity -> (emission suffix after the node on a goal path, max
+    real_score downstream). Suffixes are stored as (shared bytes, start,
+    end) slices of the goal row's emission string — no per-entry string
+    materialization. The bucketized table probed by the wavefront kernel
+    lives on device as [2, HB, 16] rows (4 slots: cols 0-3 key a, 4-7 key
+    b, 8-11 entry index — one 64 B row gather per probe); `pending`
+    accumulates (bucket, slot, a, b, val) scatter updates."""
 
     def __init__(self, size_log2: int = 19):
         self.HB = 1 << size_log2  # buckets of 4 slots
         self.fill = np.zeros(self.HB, np.int8)
-        self.entries: list[tuple[str, float]] = []
+        self.entries: list[tuple[bytes, int, int, float]] = []
         self.seen: set = set()
         self.pending: list[tuple[int, int, int, int, int]] = []
 
@@ -175,51 +201,58 @@ class _PathCache:
         self.fill[bk] = slot + 1
         self.pending.append((bk, slot, a, b, entry_idx))
 
-    def harvest(self, nodes: np.ndarray, packed: np.ndarray, reals: np.ndarray):
+    def harvest(
+        self,
+        nodes_row: np.ndarray,
+        packed_row: np.ndarray,
+        reals_row: np.ndarray,
+        full: bytes,
+        ends_row: np.ndarray,
+        n: int,
+        best: int,
+    ):
         """Insert every node of a completed goal path (first insert wins,
         like the reference HashMapST, hmm_graph_search.h:83-109)."""
-        n = _n_valid(packed)
-        if n == 0:
+        if n == 0 or n - 1 <= best:
             return
-        best = _first_max(reals, n)
         # best-chain in root -> best order = chain indices n-1 .. best
-        ci = list(range(n - 1, best - 1, -1))
-        if len(ci) < 2:
-            return
-        emissions = [_emission_packed(int(packed[i])) for i in ci]
-        end_real = float(reals[ci[-1]])
-        suffixes = [""]
-        for e in reversed(emissions[1:]):
-            suffixes.append(e + suffixes[-1])
-        suffixes.reverse()  # suffixes[j] = emissions after ci[j]
-        for j, i in enumerate(ci):
-            a = int(nodes[i])
-            p = int(packed[i])
-            b = (p >> 11 << 2) | ((p >> 9) & 3)
-            if a < 0 or (a, b) in self.seen:
+        ci = np.arange(n - 1, best - 1, -1)
+        a_arr = nodes_row[ci].tolist()
+        p_arr = packed_row[ci]
+        b_arr = ((p_arr >> 11 << 2) | ((p_arr >> 9) & 3)).tolist()
+        d_arr = (float(reals_row[best]) - reals_row[ci]).tolist()
+        s_arr = ends_row[ci].tolist()
+        e_best = int(ends_row[best])
+        seen = self.seen
+        for a, b, dmax, s_off in zip(a_arr, b_arr, d_arr, s_arr):
+            if a < 0 or (a, b) in seen:
                 continue
-            self.seen.add((a, b))
+            seen.add((a, b))
             # real_score increments from this node onward are path-local, so
             # the downstream maximum is stored as a DELTA from this node's
             # score and translated into the hitting seed's accumulation
-            delta_max = end_real - float(reals[i])
-            self.entries.append((suffixes[j], delta_max))
+            self.entries.append((full, s_off, e_best, dmax))
             self._insert(a, b, len(self.entries) - 1)
 
-    def compose(self, packed: np.ndarray, reals: np.ndarray, entry_idx: int) -> str:
+    def compose(
+        self,
+        reals_row: np.ndarray,
+        full: bytes,
+        ends_row: np.ndarray,
+        n: int,
+        best: int,
+        entry_idx: int,
+    ) -> bytes:
         """Prefix emissions + cached suffix, with the reference's
         highest-real-score truncation over the composite chain. Chain
         entry 0 is the cache-hit node."""
-        suffix, delta_max = self.entries[entry_idx]
-        n = _n_valid(packed)
-        prefix_best = _first_max(reals, n)
-        suffix_max = float(reals[0]) + delta_max
-        if suffix_max >= float(reals[prefix_best]):
-            full = "".join(
-                _emission_packed(int(packed[i])) for i in range(n - 2, -1, -1)
-            )
-            return full + suffix
-        return _contig_from_chain(packed, reals)
+        src, s_off, e_off, delta_max = self.entries[entry_idx]
+        suffix_max = float(reals_row[0]) + delta_max
+        if n == 0:
+            return b""
+        if suffix_max >= float(reals_row[best]):
+            return full + src[s_off:e_off]
+        return full[: ends_row[best]]
 
 
 @partial(jax.jit, donate_argnums=(0,), static_argnums=(1,))
@@ -233,7 +266,25 @@ def _cache_scatter(tab, d, buckets, slots, na, nb, nv):
     return tab
 
 
-_COMP = {"a": "t", "c": "g", "g": "c", "t": "a", "-": "-"}
+_RC_TABLE = bytes.maketrans(b"acgt-", b"tgca-")
+
+
+def _round_up_pow2(x: int) -> int:
+    return 1 << max(0, (x - 1).bit_length())
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _slice_stack_f32(dnodes, dpacked, dreals, lmax: int):
+    """One stacked int32 transfer for the three chain planes (the reals
+    plane rides bitcast). lmax is pow2-bucketed by the caller so only a
+    handful of shapes ever compile."""
+    return jnp.stack(
+        [
+            dnodes[:, :lmax],
+            dpacked[:, :lmax],
+            jax.lax.bitcast_convert_type(dreals[:, :lmax], jnp.int32),
+        ]
+    )
 
 
 @dataclass
@@ -247,7 +298,6 @@ class BatchSearcher:
     dtype: object = jnp.float32
     chunk: int = 128  # seeds per device batch (fixed shape: one compile,
     # bounded pool memory; the last chunk is padded with absent seeds)
-    maxc: int = 512  # chain-extraction cap; grows 4x on truncation
 
     mesh: object = None  # jax.sharding.Mesh to shard the seed axis over
 
@@ -335,9 +385,8 @@ class BatchSearcher:
             out.extend(self._search_chunk(seeds[i : i + self.chunk]))
         return out
 
-    def _search_chunk(self, seeds: list[tuple[str, int]]) -> list[str]:
+    def _build_starts(self, seeds: list[tuple[str, int]]):
         S = self.chunk
-        divisor = 3 if self.fwd_hmm.alphabet == PROTEIN else 1
         si_f = np.zeros((S, 8), np.int32)
         sf_f = np.zeros((S, 3), np.float64)
         si_r = np.zeros((S, 8), np.int32)
@@ -346,15 +395,27 @@ class BatchSearcher:
         si_r[:, 0] = -1
         si_f[:, 6] = -1  # padding parent: root (traceback terminator)
         si_r[:, 6] = -1
-        node_f, node_r = _batch_lookup(self.dbg, seeds)
-        for i, (nucl, ss) in enumerate(seeds):
-            si_f[i], sf_f[i] = _make_start(
-                self.fwd_hmm, ss, nucl, True, self.dbg, int(node_f[i])
+        node_f, node_r, groups = _batch_lookup(self.dbg, seeds)
+        divisor = 3 if self.fwd_hmm.alphabet == PROTEIN else 1
+        ss_all = np.array([ss for _, ss in seeds], np.int64)
+        Lr = self.rev_hmm.model_length
+        for idxs, fw in groups:
+            ss = ss_all[idxs]
+            ints, floats = _make_starts(
+                self.fwd_hmm, fw, ss, node_f[idxs], True
             )
-            l_start = self.rev_hmm.model_length - ss - len(nucl) // divisor
-            si_r[i], sf_r[i] = _make_start(
-                self.rev_hmm, l_start, nucl, False, self.dbg, int(node_r[i])
+            si_f[idxs], sf_f[idxs] = ints, floats
+            l_start = Lr - ss - fw.shape[1] // divisor
+            ints, floats = _make_starts(
+                self.rev_hmm, fw, l_start, node_r[idxs], False
             )
+            si_r[idxs], sf_r[idxs] = ints, floats
+        return si_f, sf_f, si_r, sf_r
+
+    def _search_chunk(self, seeds: list[tuple[str, int]]) -> list[str]:
+        S = self.chunk
+        B = self.config.expand_width
+        si_f, sf_f, si_r, sf_r = self._build_starts(seeds)
 
         # one merged run: rows [0:S] forward, [S:2S] reverse
         tab = self._cache_tables() if self.cache_f else None
@@ -396,64 +457,90 @@ class BatchSearcher:
             res = {
                 k: (
                     rf[k] + rr[k]
-                    if k in ("expansions", "steps")
+                    if k in ("expansions", "steps", "scal")
                     else jnp.concatenate(
                         [jnp.atleast_1d(rf[k]), jnp.atleast_1d(rr[k])], axis=0
                     )
                 )
                 for k in rf
             }
-        self.last_stats["expansions"] += int(res["expansions"])
-        self.last_stats["steps"] += int(res["steps"])
-        self.last_stats["overflow"] += int(np.asarray(res["overflow"]).sum())
 
-        # device-side traceback: cache-hit rows trace from the hit node,
-        # everything else from the inter goal
+        # ---- fetch 1: the scalar triple (steps, expansions, overflow)
+        scal = np.asarray(res["scal"])
+        steps = int(scal[0])
+        self.last_stats["steps"] += steps
+        self.last_stats["expansions"] += int(scal[1])
+        self.last_stats["overflow"] += int(scal[2])
+
+        # ---- device traceback on the actually-used trace prefix
+        # (pow2-bucketed so only a handful of shapes ever compile)
+        Tfull = res["trace3"].shape[2]
+        Tc = min(Tfull, _round_up_pow2(max(1 + steps * B, 128)))
+        trace3 = res["trace3"][:, :, :Tc]
+        treal = res["treal"][:, :Tc]
         start_idx = jnp.where(
             res["cached_at"] >= 0, res["cached_at"], res["inter_idx"]
         )
-        while True:
-            dnodes, dpacked, dreals = extract_chains(
-                res["trace3"], res["treal"], start_idx, self.maxc,
-            )
-            # slice to the longest actual chain before pulling to the host:
-            # the tunnel downloads at ~20 MB/s, so bytes are the cost
-            lmax = int(jnp.max(jnp.sum(dpacked >= 0, axis=1)))
-            if lmax < self.maxc:
-                c = max(lmax, 1)
-                dnodes, dpacked, dreals = (
-                    dnodes[:, :c], dpacked[:, :c], dreals[:, :c]
-                )
-            nodes = np.asarray(dnodes)
-            packed = np.asarray(dpacked)
-            reals = np.asarray(dreals, np.float64)
-            if lmax < self.maxc:
-                break
-            self.maxc *= 4  # truncated chain: retry deeper (rare)
+        dnodes, dpacked, dreals, dlens = extract_chains(trace3, treal, start_idx)
 
-        ce = np.asarray(res["cached_entry"])
-        goal = np.asarray(res["goal_idx"])
+        # ---- fetch 2: per-seed meta block + chain lengths
+        meta = np.asarray(
+            jnp.concatenate([res["meta"], dlens[:, None]], axis=1)
+        )
+        # pow2 bucket so the slice+stack jit compiles only a few shapes
+        lmax = min(Tc, _round_up_pow2(max(int(meta[:, 4].max()), 64)))
+
+        # ---- fetch 3: the chains, one stacked transfer
+        if dreals.dtype == jnp.float32:
+            arr = np.asarray(_slice_stack_f32(dnodes, dpacked, dreals, lmax))
+            nodes, packed = arr[0], arr[1]
+            reals = arr[2].view(np.float32).astype(np.float64)
+        else:  # float64 exactness mode (CPU tests)
+            nodes = np.asarray(dnodes[:, :lmax])
+            packed = np.asarray(dpacked[:, :lmax])
+            reals = np.asarray(dreals[:, :lmax], np.float64)
+
+        ce = meta[:, 2]
+        goal = meta[:, 0]
         ce_f, ce_r = ce[:S], ce[S:]
         goal_f, goal_r = goal[:S], goal[S:]
 
-        plain = _contigs_from_chains(packed, reals)
+        full, ends, n_arr, best = _chain_strings(packed, reals)
+        plain = [
+            full[r][: ends[r, best[r]]] if n_arr[r] else b""
+            for r in range(packed.shape[0])
+        ]
         contigs = []
         for i, (nucl, _) in enumerate(seeds):
             if self.cache_f and ce_f[i] >= 0:
-                right = self.cache_f.compose(packed[i], reals[i], int(ce_f[i]))
+                right = self.cache_f.compose(
+                    reals[i], full[i], ends[i], int(n_arr[i]), int(best[i]),
+                    int(ce_f[i]),
+                )
             else:
                 right = plain[i]
                 if self.cache_f is not None and goal_f[i] >= 0:
-                    self.cache_f.harvest(nodes[i], packed[i], reals[i])
+                    self.cache_f.harvest(
+                        nodes[i], packed[i], reals[i],
+                        full[i], ends[i], int(n_arr[i]), int(best[i]),
+                    )
             j = S + i
             if self.cache_r and ce_r[i] >= 0:
-                left = self.cache_r.compose(packed[j], reals[j], int(ce_r[i]))
+                left = self.cache_r.compose(
+                    reals[j], full[j], ends[j], int(n_arr[j]), int(best[j]),
+                    int(ce_r[i]),
+                )
             else:
                 left = plain[j]
                 if self.cache_r is not None and goal_r[i] >= 0:
-                    self.cache_r.harvest(nodes[j], packed[j], reals[j])
-            left_rc = "".join(_COMP[c] for c in reversed(left))
-            contigs.append(left_rc + nucl.lower() + right)
+                    self.cache_r.harvest(
+                        nodes[j], packed[j], reals[j],
+                        full[j], ends[j], int(n_arr[j]), int(best[j]),
+                    )
+            left_rc = left.translate(_RC_TABLE)[::-1]
+            contigs.append(
+                left_rc.decode() + nucl.lower() + right.decode()
+            )
         self.last_stats["cache_hits"] = self.last_stats.get("cache_hits", 0) + int(
             (ce_f >= 0).sum() + (ce_r >= 0).sum()
         )

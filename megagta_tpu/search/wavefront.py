@@ -348,37 +348,51 @@ def _k2(ibx):
     return ((4095 - sno) << 2) | _rank(ibx & 3)
 
 
-@partial(jax.jit, static_argnames=("maxc",))
-def extract_chains(trace3, treal, start_idx, maxc: int):
-    """Walk parent pointers on device; return compact child->root chains.
+@jax.jit
+def extract_chains(trace3, treal, start_idx):
+    """Compact child->root chains from the trace arenas, on device.
 
-    Replaces host-side traceback over the full trace arenas: on a tunneled
-    TPU the arena transfer dominates wall-clock, while the chains the host
-    actually needs are [R, maxc] (~30x smaller). Returns
-    (nodes [R, maxc] int32, packed [R, maxc] int32, reals [R, maxc]):
-    packed = ne | state << 9 | state_no << 11, -1 marks past-end slots.
-    Chain entry 0 is `start_idx` itself; the last valid entry is the root
-    (trace parent -1, cf. runner traceback of hmm_graph_search.h:83-109).
+    The v1 design walked parent pointers with one take_along_axis per step;
+    TPU lowers per-row gathers to serial dynamic-slices, so at production
+    shapes the walk cost ~2.3 s per bench run. v2 exploits that parent
+    indices strictly DECREASE along a chain: one backward sweep over trace
+    columns (a lax.scan of pure elementwise [S]-vector ops — no gathers)
+    marks every on-chain position, then a single multi-operand lax.sort
+    compacts the marked entries to the row fronts in child->root (descending
+    trace-position) order. ~27 ms at [1024, 1024] vs 47 ms for the walk
+    capped at 512 steps — and the sweep has no cap to retry.
+
+    Returns (nodes, packed, reals [S, T], lengths [S]): packed =
+    ne | state << 9 | state_no << 11, -1 marks past-end slots. Chain entry
+    0 is `start_idx` itself; the last valid entry is the root (trace parent
+    -1, cf. runner traceback of hmm_graph_search.h:83-109). Callers slice
+    columns to lengths.max() before any host transfer.
     """
-    tnode, tpack, tparent = trace3[:, 0], trace3[:, 1], trace3[:, 2]
+    S, _, T = trace3.shape
+    parentT = jnp.transpose(trace3[:, 2])  # [T, S]
+    ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
 
-    def step(idx, _):
-        valid = idx >= 0
-        safe = jnp.maximum(idx, 0)
-        gather = lambda a: jnp.take_along_axis(a, safe[:, None], axis=1)[:, 0]  # noqa: E731
-        node = jnp.where(valid, gather(tnode), -1)
-        packed = jnp.where(valid, gather(tpack), -1)
-        reals = jnp.where(valid, gather(treal), 0.0)
-        parent = gather(tparent)
-        # self-referencing records (e.g. zero-filled padding) terminate
-        nxt = jnp.where(valid & (parent != idx), parent, -1)
-        return nxt, (node, packed, reals)
+    def step(w, x):
+        pcol, t = x
+        hit = w == t
+        # self-referencing records (zero-filled padding) terminate
+        nxt = jnp.where(hit, jnp.where(pcol == t, -1, pcol), w)
+        return nxt, hit
 
-    _, (nodes, packed, reals) = jax.lax.scan(step, start_idx, None, length=maxc)
+    _, hitsT = jax.lax.scan(step, start_idx, (parentT[::-1], ts), unroll=8)
+    on = jnp.transpose(hitsT)[:, ::-1]  # [S, T], trace-position ascending
+    tt = jnp.arange(T, dtype=jnp.int32)[None, :]
+    key = jnp.where(on, -tt, INT_MAX32)
+    k, nodes, packed, reals = jax.lax.sort(
+        (key, trace3[:, 0], trace3[:, 1], treal),
+        dimension=1, num_keys=1, is_stable=True,
+    )
+    valid = k != INT_MAX32
     return (
-        jnp.transpose(nodes),
-        jnp.transpose(packed),
-        jnp.transpose(reals),
+        jnp.where(valid, nodes, -1),
+        jnp.where(valid, packed, -1),
+        jnp.where(valid, reals, 0.0),
+        valid.sum(axis=1, dtype=jnp.int32),
     )
 
 
@@ -1065,4 +1079,11 @@ def wavefront_search_merged(
         "active": active,
         "cached_entry": cached_entry,
         "cached_at": cached_at,
+        # packed copies of the small outputs: on a tunneled TPU every
+        # host fetch pays a ~30 ms round trip, so the runner reads ONE
+        # [S, 4] row block + ONE scalar triple instead of seven arrays
+        "meta": jnp.stack([goal_idx, inter_idx, cached_entry, cached_at], 1),
+        "scal": jnp.stack(
+            [steps, expansions, overflow.sum(dtype=jnp.int32)]
+        ),
     }
