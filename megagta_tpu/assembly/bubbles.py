@@ -108,15 +108,28 @@ class _BranchGroup:
 def pop_bubbles(dbg: SdBG, max_branches: int = MAX_BRANCHES) -> int:
     max_bubble_len = dbg.k * 2 + 4
     marked = np.zeros(dbg.size, bool)
-    candidates = []
-    for e in np.flatnonzero(~dbg.invalid):
+
+    # vectorized candidate screen: a branch group can only start at a valid
+    # edge whose TARGET node branches 2..max_branches ways — one whole-array
+    # mask replaces the per-edge search() probe over the full row set
+    valid = ~dbg.invalid
+    sv = (dbg.succ >= 0) & valid[np.maximum(dbg.succ, 0)]
+    outd = sv.sum(1)
+    candidates = np.flatnonzero(valid & (outd >= 2) & (outd <= max_branches))
+
+    # two-phase protocol like the reference (search pass on the pristine
+    # graph, then pop with a re-check on the mutating graph + retry): the
+    # re-search before pop is load-bearing — earlier pops can break a
+    # candidate's convergence
+    found = []
+    for e in candidates:
         bg = _BranchGroup(dbg, int(e), max_branches, max_bubble_len)
         if bg.search():
-            candidates.append(int(e))
+            found.append(int(e))
 
     num = 0
     retry = []
-    for e in candidates:
+    for e in found:
         bg = _BranchGroup(dbg, e, max_branches, max_bubble_len)
         if bg.search():
             if bg.pop(marked):

@@ -38,16 +38,22 @@ def assemble(
     max_tip_len: int = 150,
     min_contig: int = 0,
     no_bubble: bool = False,
+    engine: str = "vectorized",
 ) -> tuple[list[Contig], dict]:
+    """engine: "vectorized" (default; lockstep walks + pointer doubling,
+    assembly/vectorized.py) or "sequential" (per-node oracle)."""
+    from .vectorized import extract_contigs_vec, remove_tips_vec
+
+    vec = engine == "vectorized"
     if max_tip_len == -1:
         max_tip_len = dbg.k * 2
     if max_tip_len > 0:
-        n_tips = remove_tips(dbg, max_tip_len)
+        n_tips = (remove_tips_vec if vec else remove_tips)(dbg, max_tip_len)
         log(f"tips removed: {n_tips}")
     if not no_bubble:
         n_bub = pop_bubbles(dbg)
         log(f"bubbles popped: {n_bub}")
-    contigs = extract_contigs(dbg, min_contig)
+    contigs = (extract_contigs_vec if vec else extract_contigs)(dbg, min_contig)
     stats = contig_stats([len(c.seq) for c in contigs])
     log(
         f"contigs: {stats['count']}, total {stats['total']}, "

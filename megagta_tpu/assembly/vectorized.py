@@ -1,18 +1,29 @@
-"""Vectorized (array-program) de novo assembly passes.
+"""Vectorized de novo assembly: lockstep tip walks + pointer-doubling
+path condensation.
 
-TPU-first re-derivations of the reference's lock-based parallel passes
-(SURVEY.md section 2.10: "replace with deterministic segmented reductions /
-scan-based ownership"): instead of per-node pointer-chasing walks guarded by
-an atomic bitvector (src/assembly_algorithms.cpp:76-183, src/unitig_graph.
-cpp:208-340), every pass is whole-graph array arithmetic over the SdBG's
-precomputed succ/pred/group tables — bincounts for degrees, lockstep gather
-walks for tips, pointer-doubling for unitig condensation. All passes are
-deterministic and produce the same results as the sequential reference
-semantics (tested against assembly/{tips,unitigs}.py and the C++ binary).
+The default engine behind assembly.denovo.assemble. Replaces the per-node
+Python walks of tips.py/unitigs.py (kept as the cross-checked oracle) with
+whole-array numpy passes over the SdBG row tables:
 
-These run in NumPy on the host: the graph-mutation stages are a tiny, fully
-bandwidth-bound slice of the pipeline (the FLOPs live in counting + search),
-and the array formulation here is exactly the one a jnp swap-in would jit.
+  * tip removal (assembly_algorithms::RemoveTips/Trim,
+    src/assembly_algorithms.cpp:76-183): every candidate dead-end node
+    advances ONE hop per lockstep iteration through precomputed
+    unique-prev/next node tables; paths are recorded as [cands, len]
+    matrices and marked tips are deleted in one vectorized pass. The
+    round/mark/delete structure (mark during scan, delete after) matches
+    the reference's atomic-bitvector protocol — a walk never observes
+    same-round deletions, and no round-N walk can mark another round-N
+    candidate's rows (a dead-end node on another walk's path would have
+    ended that walk), so lockstep order is equivalent to any sequential
+    order.
+  * unitig extraction (UnitigGraph::InitFromSdBG streaming mode,
+    src/unitig_graph.cpp:208-310): next-simple-path pointers are chased by
+    pointer doubling (log2(size) gather rounds), giving every edge its path
+    terminal + distance; one lexsort groups path rows start->end; labels,
+    depths and flags fall out of segment reductions. Reverse-complement
+    twins are deduplicated by the emit-smaller-end rule, which reproduces
+    the sequential visited-marking order (ends are visited ascending; an
+    emitted path's rc walk always marks its twin's end).
 """
 
 from __future__ import annotations
@@ -23,146 +34,123 @@ from ..constants import dna_to_str
 from ..graph.sdbg import SdBG
 from .unitigs import Contig
 
-__all__ = [
-    "NodeDegrees",
-    "node_degrees",
-    "remove_tips_vec",
-    "extract_contigs_vec",
-]
+__all__ = ["remove_tips_vec", "extract_contigs_vec"]
 
 
-class NodeDegrees:
-    """Per-group degree tables + unique-link maps for the CURRENT invalid
-    mask. Recomputed after each mutation pass (one bincount sweep each)."""
+class _NodeTables:
+    """Per-node (group) aggregates indexed by last-row id; recomputed per
+    round (they depend on dbg.invalid)."""
 
     def __init__(self, dbg: SdBG):
-        G = int(dbg.last.sum())
+        size = dbg.size
         valid = ~dbg.invalid
-        rows = np.flatnonzero(valid)
-        g_of = dbg.group_ordinal
-        self.outdeg = np.bincount(g_of[rows], minlength=G)
-        # single valid out-row per group (meaningful only when outdeg == 1)
-        sum_rows = np.bincount(g_of[rows], weights=rows.astype(np.float64),
-                               minlength=G)
-        self.single_out = np.where(
-            self.outdeg == 1, sum_rows.astype(np.int64), -1
-        )
-        # incoming rows: pred[g] filtered by validity
-        pred_ok = (dbg.pred >= 0) & valid[np.maximum(dbg.pred, 0)]
-        self.indeg = pred_ok[:G].sum(axis=1)
-        pred_masked = np.where(pred_ok[:G], dbg.pred[:G], 0)
-        self.single_in = np.where(
-            self.indeg == 1, pred_masked.sum(axis=1), -1
-        )
-        self._dbg = dbg
-        self._G = G
+        self.last_rows = h = np.flatnonzero(dbg.last)
+        gs = dbg.group_start[h]
+        cs = np.concatenate([[0], np.cumsum(valid)])
+        self.out_deg = (cs[h + 1] - cs[gs]).astype(np.int64)
 
-    # node handles are group ids below; -1 propagates through every map
-
-    def unique_next_node(self, g: np.ndarray) -> np.ndarray:
-        """group -> target GROUP of its single valid out-edge, else -1
-        (UniqueNextNode, src/succinct_dbg.cpp:129-160 semantics on groups).
-        """
-        row = np.where(g >= 0, self.single_out[np.maximum(g, 0)], -1)
-        fwd = np.where(row >= 0, self._dbg.forward[np.maximum(row, 0)], -1)
-        return np.where(fwd >= 0, self._dbg.group_ordinal[np.maximum(fwd, 0)], -1)
-
-    def unique_prev_node(self, g: np.ndarray) -> np.ndarray:
-        row = np.where(g >= 0, self.single_in[np.maximum(g, 0)], -1)
-        return np.where(
-            row >= 0,
-            self._dbg.group_ordinal[
-                np.maximum(self._dbg.group_end[np.maximum(row, 0)], 0)
-            ],
-            -1,
+        # the single valid out-row of out-degree-1 groups: first valid row
+        # at or after the group start
+        idxv = np.flatnonzero(valid)
+        pos = np.searchsorted(idxv, gs)
+        if len(idxv):
+            first_valid = idxv[np.minimum(pos, len(idxv) - 1)]
+        else:
+            first_valid = np.full(len(h), -1, np.int64)
+        single_out = np.where(
+            (self.out_deg == 1) & (pos < len(idxv)), first_valid, -1
         )
 
+        g = dbg.group_ordinal[h]
+        pred = dbg.pred[g]  # [H, 4]
+        pv = (pred >= 0) & valid[np.maximum(pred, 0)]
+        self.in_deg = pv.sum(1)
+        first_slot = np.argmax(pv, axis=1)
+        single_in = np.where(
+            self.in_deg == 1, pred[np.arange(len(h)), first_slot], -1
+        )
 
-def node_degrees(dbg: SdBG) -> NodeDegrees:
-    return NodeDegrees(dbg)
+        # row-indexed node tables (node handle = its group's last row)
+        self.uniq_next = np.full(size, -1, np.int64)
+        ok = single_out >= 0
+        self.uniq_next[h[ok]] = dbg.forward[single_out[ok]]
+        self.uniq_prev = np.full(size, -1, np.int64)
+        ok = single_in >= 0
+        self.uniq_prev[h[ok]] = dbg.group_end[single_in[ok]]
+        self.outdeg_zero = np.zeros(size, bool)
+        self.outdeg_zero[h] = self.out_deg == 0
+        self.indeg_zero = np.zeros(size, bool)
+        self.indeg_zero[h] = self.in_deg == 0
 
 
-def _delete_groups(dbg: SdBG, groups: np.ndarray) -> None:
-    """DeleteAllEdges for a batch of groups: invalidate every row of each
-    group and every incoming row (src/succinct_dbg.cpp:342-367)."""
-    if len(groups) == 0:
+def _walk(cand, length, nt, forward: bool):
+    """Lockstep dead-end walk; returns (is_tip [C], paths [C, length])."""
+    C = len(cand)
+    paths = np.full((C, max(length, 1)), -1, np.int64)
+    paths[:, 0] = cand
+    cur = cand.copy()
+    alive = np.ones(C, bool)
+    is_tip = np.zeros(C, bool)
+    step = nt.uniq_next if forward else nt.uniq_prev
+    link_back = nt.uniq_prev if forward else nt.uniq_next
+    endcheck = nt.outdeg_zero if forward else nt.indeg_zero
+    for t in range(1, length):
+        if not alive.any():
+            break
+        nxt = step[cur]
+        c1 = nxt < 0
+        is_tip |= alive & c1 & endcheck[cur]
+        lb = link_back[np.maximum(nxt, 0)]
+        c2 = ~c1 & (lb < 0)
+        is_tip |= alive & c2
+        cont = alive & ~c1 & ~c2
+        if forward:
+            # the reference keeps walking after the c2 branch without
+            # appending (assembly_algorithms.cpp:129-131) — state no longer
+            # changes, so it is equivalent to stopping
+            paths[cont, t] = nxt[cont]
+        else:
+            paths[cont, t] = nxt[cont]
+        cur = np.where(cont, nxt, cur)
+        alive = cont
+    return is_tip, paths
+
+
+def _apply_marks(is_tip, paths, removed) -> int:
+    rows = paths[is_tip]
+    rows = rows[rows >= 0]
+    removed[rows] = True
+    return int(is_tip.sum())
+
+
+def _delete_removed(dbg: SdBG, removed: np.ndarray) -> None:
+    """Vectorized DeleteAllEdges over every removed node (marks are always
+    last rows)."""
+    rem = np.flatnonzero(removed & dbg.last)
+    if not len(rem):
         return
-    ge = np.flatnonzero(dbg.last)  # group -> last row
-    last_rows = ge[groups]
-    starts = dbg.group_start[last_rows]
-    # group rows (groups are <= 5 rows wide)
-    width = last_rows - starts + 1
-    maxw = int(width.max()) if len(width) else 0
-    for off in range(maxw):
-        sel = off < width
-        dbg.invalid[starts[sel] + off] = True
-    ins = dbg.pred[groups]
-    dbg.invalid[ins[ins >= 0]] = True
+    dbg.invalid |= removed[dbg.group_end]
+    pr = dbg.pred[dbg.group_ordinal[rem]].ravel()
+    pr = pr[pr >= 0]
+    dbg.invalid[pr] = True
 
 
 def _trim_round_vec(dbg: SdBG, length: int, removed: np.ndarray) -> int:
-    """One vectorized Trim(len) round: both direction passes walk ALL
-    candidate nodes in lockstep (the per-thread walks of Trim,
-    src/assembly_algorithms.cpp:76-159, as [N] gather steps)."""
-    deg = NodeDegrees(dbg)
-    G = deg._G
-    group_last = np.flatnonzero(dbg.last)
-    n_tips = 0
-
-    for direction in (0, 1):  # 0: outdeg-0 walk back, 1: indeg-0 walk fwd
-        if direction == 0:
-            cand = np.flatnonzero((deg.outdeg == 0) & ~removed[group_last])
-            step_fn, deg_end, link_back = (
-                deg.unique_prev_node, deg.indeg, deg.unique_next_node,
-            )
-        else:
-            cand = np.flatnonzero((deg.indeg == 0) & ~removed[group_last])
-            step_fn, deg_end, link_back = (
-                deg.unique_next_node, deg.outdeg, deg.unique_prev_node,
-            )
-        # rows whose whole group is invalid have outdeg 0 but are not real
-        # candidate nodes anymore once fully deleted AND removed; the
-        # reference guards with removed_nodes only, matching this.
-        if len(cand) == 0:
-            continue
-        N = len(cand)
-        cur = cand.copy()
-        alive = np.ones(N, bool)
-        is_tip = np.zeros(N, bool)
-        path = np.full((N, max(length, 1)), -1, np.int64)
-        path[:, 0] = cand
-        plen = np.ones(N, np.int64)
-        for _ in range(1, length):
-            if not alive.any():
-                break
-            nxt = step_fn(np.where(alive, cur, -1))
-            no_link = alive & (nxt == -1)
-            # dead end: tip iff the other-side degree is zero
-            is_tip |= no_link & (deg_end[cur] == 0)
-            alive &= ~no_link
-            back = link_back(nxt)
-            branch = alive & (back == -1)
-            is_tip |= branch
-            alive &= ~branch
-            upd = alive
-            path[upd, plen[upd]] = nxt[upd]
-            plen[upd] += 1
-            cur = np.where(upd, nxt, cur)
-        tips = np.flatnonzero(is_tip)
-        n_tips += len(tips)
-        cols = np.arange(path.shape[1])[None, :]
-        sel = (cols < plen[tips, None])
-        marked_groups = path[tips][sel]
-        removed[group_last[marked_groups]] = True
-
-    _delete_groups(dbg, dbg.group_ordinal[
-        np.flatnonzero(removed & dbg.last)
-    ])
-    return n_tips
+    nt = _NodeTables(dbg)
+    h = nt.last_rows
+    n = 0
+    # pass 1: out-degree-zero nodes walk backward
+    cand = h[(nt.out_deg == 0) & ~removed[h]]
+    n += _apply_marks(*_walk(cand, length, nt, forward=False), removed)
+    # pass 2: in-degree-zero nodes walk forward (sees pass-1 marks, like the
+    # sequential shared `removed` array)
+    cand = h[(nt.in_deg == 0) & ~removed[h]]
+    n += _apply_marks(*_walk(cand, length, nt, forward=True), removed)
+    _delete_removed(dbg, removed)
+    return n
 
 
 def remove_tips_vec(dbg: SdBG, max_tip_len: int) -> int:
-    """RemoveTips (src/assembly_algorithms.cpp:161-183), vectorized."""
     removed = np.zeros(dbg.size, bool)
     total = 0
     length = 2
@@ -173,197 +161,109 @@ def remove_tips_vec(dbg: SdBG, max_tip_len: int) -> int:
     return total
 
 
-# --------------------------------------------------------------- unitigs
-
-
-def _simple_path_links(dbg: SdBG):
-    """next_sp/prev_sp [size]: the simple-path successor/predecessor edge of
-    every valid edge row, -1 where the path breaks (next_simple_path_edge /
-    prev_simple_path_edge over the whole graph at once)."""
-    size = dbg.size
-    valid = ~dbg.invalid
-    # unique next edge: exactly one valid succ entry
-    succ = dbg.succ  # [size, 4]
-    sv = (succ >= 0) & valid[np.maximum(succ, 0)]
-    n_out = sv.sum(axis=1)
-    next_e = np.where(
-        (n_out == 1) & valid, np.where(sv, succ, 0).sum(axis=1), -1
-    )
-    # unique prev edge: exactly one valid pred entry of the row's group
-    pred = dbg.pred[dbg.group_ordinal]  # [size, 4]
-    pv = (pred >= 0) & valid[np.maximum(pred, 0)]
-    n_in = pv.sum(axis=1)
-    prev_e = np.where(
-        (n_in == 1) & valid, np.where(pv, pred, 0).sum(axis=1), -1
-    )
-    # next simple-path edge: next exists and has a unique prev
-    ne_ok = next_e >= 0
-    nxt_prev = np.where(ne_ok, prev_e[np.maximum(next_e, 0)], -1)
-    next_sp = np.where(ne_ok & (nxt_prev >= 0), next_e, -1)
-    pe_ok = prev_e >= 0
-    prv_next = np.where(pe_ok, next_e[np.maximum(prev_e, 0)], -1)
-    prev_sp = np.where(pe_ok & (prv_next >= 0), prev_e, -1)
-    return next_sp, prev_sp
-
-
-def _path_decompose(next_sp: np.ndarray, valid_rows: np.ndarray):
-    """Pointer-doubling: for every valid row, the END row of its simple path
-    and its distance to that end (log-step jumps; SURVEY.md section 7
-    "pointer-doubling path condensation"). Rows on cycles (no end) get
-    end = -1."""
-    size = len(next_sp)
-    nxt = next_sp.copy()
-    dist = np.where(nxt >= 0, 1, 0).astype(np.int64)
-    end = np.where(nxt >= 0, -2, np.arange(size))  # -2 = unresolved
-    end[~valid_rows] = -1
-    hops = nxt.copy()
-    add = dist.copy()
-    # jump tables double each round: after r rounds hops = 2^r-step jump
-    for _ in range(int(np.ceil(np.log2(max(size, 2)))) + 1):
-        unresolved = end == -2
-        if not unresolved.any():
-            break
-        h = hops[unresolved]
-        ok = h >= 0
-        tgt = h[ok]
-        # resolved target -> inherit; else extend the jump
-        te = end[tgt]
-        done = te >= 0
-        idxs = np.flatnonzero(unresolved)
-        di = idxs[ok][done]
-        end[di] = te[done]
-        dist[di] = dist[di] + 0  # dist already counts own steps; add below
-        # distances: dist[i] accumulates steps already jumped
-        # extend jumps for everyone still unresolved
-        nh = np.full(size, -1, np.int64)
-        na = np.zeros(size, np.int64)
-        live = np.flatnonzero(end == -2)
-        if len(live) == 0:
-            break
-        h2 = hops[live]
-        okl = h2 >= 0
-        h2t = np.where(okl, h2, 0)
-        step_end = end[h2t]
-        fin = okl & (step_end >= 0)
-        end[live[fin]] = step_end[fin]
-        dist[live[fin]] += add[h2t[fin]]
-        still = live[okl & (step_end == -2)]
-        nh[still] = hops[hops[still]]
-        na[still] = add[still] + add[hops[still]]
-        dist[still] += 0
-        # cycles: jumping forever without resolution -> detected when the
-        # doubled hop returns -1 only for true path ends (cannot happen for
-        # unresolved) — cycle rows keep end == -2 and are finalized below
-        hops = np.where(nh >= 0, nh, hops)
-        upd = np.zeros(size, bool)
-        upd[still] = True
-        add = np.where(upd, na, add)
-        # rows whose jump target is itself on a cycle never resolve; bounded
-        # by the loop count
-        dist_inc = np.zeros(size, np.int64)
-        del dist_inc
-    # simpler distance recovery: walk via binary lifting is intricate to get
-    # exactly right; recompute distances below with a second doubling pass.
-    return end
-
-
-def _order_paths(next_sp: np.ndarray, prev_sp: np.ndarray, ends: np.ndarray):
-    """Row order within each path by doubling on prev_sp from the ends."""
-    raise NotImplementedError
-
-
 def extract_contigs_vec(dbg: SdBG, min_contig: int = 0) -> list[Contig]:
-    """Streaming unitig extraction (UnitigGraph::InitFromSdBG streaming mode,
-    src/unitig_graph.cpp:208-310), vectorized:
-
-    1. one pass computes next_sp/prev_sp for every row;
-    2. path ends = rows with next_sp == -1; per-path membership and order
-       come from a lockstep backward walk over all paths at once (bounded by
-       the longest path, each step one gather);
-    3. rc-twin dedup keeps the path whose end row is smaller than its twin's
-       (scan order of the reference); palindromes fold to half length;
-    4. labels: batched label reconstruction for starts + out_label gathers.
-    """
     size = dbg.size
+    if size == 0:
+        return []
     valid = ~dbg.invalid
-    next_sp, prev_sp = _simple_path_links(dbg)
-    ends = np.flatnonzero(valid & (next_sp == -1))
-    if len(ends) == 0:
+    idx = np.arange(size, dtype=np.int64)
+
+    # ---- unique next/prev EDGE pointers over all rows ---------------------
+    succ = dbg.succ
+    sv = (succ >= 0) & valid[np.maximum(succ, 0)]
+    out_cnt = sv.sum(1)
+    first_slot = np.argmax(sv, axis=1)
+    un_edge = np.where(
+        valid & (out_cnt == 1), succ[idx, first_slot], -1
+    )
+    pred = dbg.pred[dbg.group_ordinal]  # [size, 4] incoming rows of own node
+    pv = (pred >= 0) & valid[np.maximum(pred, 0)]
+    in_cnt = pv.sum(1)
+    pf = np.argmax(pv, axis=1)
+    up_edge = np.where(valid & (in_cnt == 1), pred[idx, pf], -1)
+
+    next_sp = np.where(
+        (un_edge >= 0) & (up_edge[np.maximum(un_edge, 0)] >= 0), un_edge, -1
+    )
+
+    # ---- pointer doubling: terminal + distance per row --------------------
+    nxt = np.where(next_sp >= 0, next_sp, idx)
+    dist = (next_sp >= 0).astype(np.int64)
+    for _ in range(max(1, int(np.ceil(np.log2(max(size, 2)))) + 1)):
+        dist = dist + dist[nxt]
+        nxt = nxt[nxt]
+    terminal = nxt
+    is_end = valid & (next_sp < 0)
+    on_path = valid & is_end[terminal]  # excludes cycles
+
+    rows = idx[on_path]
+    order = np.lexsort((-dist[rows], terminal[rows]))
+    rows = rows[order]
+    term_sorted = terminal[rows]
+    bound = np.ones(len(rows), bool)
+    if len(rows) > 1:
+        bound[1:] = term_sorted[1:] != term_sorted[:-1]
+    starts_pos = np.flatnonzero(bound)
+    seg_bounds = np.append(starts_pos, len(rows))
+    start_rows = rows[starts_pos]  # max-distance row of each path
+    end_rows = term_sorted[starts_pos]
+    plens = np.diff(seg_bounds)
+    csum = np.concatenate([[0], np.cumsum(dbg.mult[rows].astype(np.int64))])
+    depths = csum[seg_bounds[1:]] - csum[seg_bounds[:-1]]
+
+    n_paths = len(start_rows)
+    if n_paths == 0:
         return []
 
-    # --- lockstep backward walk: collect each path's rows tip->start
-    N = len(ends)
-    cur = ends.copy()
-    alive = np.ones(N, bool)
-    rows_rev: list[np.ndarray] = [ends.copy()]
-    # visited marks rows consumed by any path (twin marking below also uses
-    # this); paths are vertex-disjoint so no write conflicts
-    while alive.any():
-        prv = np.where(alive, prev_sp[cur], -1)
-        alive = prv >= 0
-        if not alive.any():
-            break
-        cur = np.where(alive, prv, cur)
-        rows_rev.append(np.where(alive, prv, -1))
-    # path matrix [N, L] start->end order with -1 padding at the FRONT
-    mat = np.stack(rows_rev[::-1], axis=1)  # [N, L] (leading -1s)
-    plen = (mat >= 0).sum(axis=1)
-    L = mat.shape[1]
+    # ---- rc twin dedup + palindrome detection -----------------------------
+    # edge label of each end row, reverse-complemented, looked up in batch
+    end_nodes = dbg.labels_batch(end_rows)  # [P, k]
+    out_chars = (dbg.out_label(end_rows) - 1).astype(np.int8)
+    edge_lab = np.concatenate([end_nodes, out_chars[:, None]], axis=1)
+    rc_lab = (3 - edge_lab)[:, ::-1].astype(np.int8)
+    rc_rows = dbg.lookup_edges(rc_lab)
+    rc_ok = (rc_rows >= 0) & valid[np.maximum(rc_rows, 0)]
+    rc_term = np.where(
+        rc_ok & on_path[np.maximum(rc_rows, 0)],
+        terminal[np.maximum(rc_rows, 0)],
+        -1,
+    )
+    is_palin = rc_term == end_rows
+    # replay the sequential visited-marking order exactly: paths are
+    # processed by ascending end row (end_rows is sorted); an emitted path
+    # marks its rc twin's end, suppressing the twin. O(#paths) host loop.
+    emit = np.zeros(n_paths, bool)
+    marked: set = set()
+    for p in range(n_paths):
+        if int(end_rows[p]) in marked:
+            continue
+        emit[p] = True
+        if rc_term[p] >= 0:
+            marked.add(int(rc_term[p]))
 
-    # --- rc twin mapping: twin(P)'s end edge = rc(first edge of P)
-    starts = mat[np.arange(N), L - plen]
-    start_labels = dbg.labels_batch(starts)  # [N, k] node labels
-    start_out = (dbg.out_label(starts) - 1).astype(np.int8)
-    edge_seq = np.concatenate([start_labels, start_out[:, None]], axis=1)
-    rc_seq = (3 - edge_seq)[:, ::-1]
-    twin_end = dbg.lookup_edges(rc_seq)  # row of rc(e1) = twin's end (or -1)
-
-    # the reference walks rc(end) forward marking the twin; emitting the
-    # path whose end row appears first in row order reproduces its
-    # first-seen-wins scan (src/unitig_graph.cpp:267-300)
-    is_palindrome = np.zeros(N, bool)
-    emit = np.ones(N, bool)
-    has_twin = twin_end >= 0
-    # map end row -> path index
-    end_of = np.full(size, -1, np.int64)
-    end_of[ends] = np.arange(N)
-    twin_path = np.where(has_twin, end_of[np.maximum(twin_end, 0)], -1)
-    same = twin_path == np.arange(N)
-    # palindrome: rc of the END edge lies on the path itself. rc(e1) being
-    # the twin's end means twin==self exactly when the path is its own rc.
-    is_palindrome = has_twin & same
-    other = has_twin & (twin_path >= 0) & ~same
-    # keep the smaller end row of each twin pair
-    emit[other] = ends[other] < ends[twin_path[other]]
-    # twin not a path end (e.g. rc edge mid-path after deletions): emit
-
-    # --- multiplicities and labels
-    mult_path = np.where(mat >= 0, dbg.mult[np.maximum(mat, 0)], 0).sum(axis=1)
-    out_chars = np.where(
-        mat >= 0, dbg.out_label(np.maximum(mat, 0)) - 1, -1
-    ).astype(np.int8)
-
-    # isolated flag: start-node indegree 0 (no incoming rows) and end-node
-    # outdegree 0 cannot happen for emitted paths with next_sp==-1 due to a
-    # branch; replicate the reference's exact check
-    deg = NodeDegrees(dbg)
-    g_start = dbg.group_ordinal[starts]
-    g_end = dbg.group_ordinal[ends]
-    start_in0 = deg.indeg[g_start] == 0
-    end_out0 = deg.outdeg[g_end] == 0
+    # ---- contig assembly ---------------------------------------------------
+    start_labels = dbg.labels_batch(start_rows)  # [P, k]
+    path_chars = (dbg.out_label(rows) - 1).astype(np.int8)
+    in0 = in_cnt[start_rows] == 0
+    outE = out_cnt[end_rows] == 0
+    flags = np.where(in0 & outE, 1, 0)
 
     contigs: list[Contig] = []
-    emit_idx = np.flatnonzero(emit)
-    for i in emit_idx:
-        n = int(plen[i])
-        chars = out_chars[i, L - n :]
-        label = dna_to_str(np.concatenate([start_labels[i], chars]))
-        if is_palindrome[i]:
-            label = label[: (len(label) + dbg.k) // 2]
+    k = dbg.k
+    for p in np.flatnonzero(emit):
+        chars = np.concatenate(
+            [start_labels[p], path_chars[seg_bounds[p] : seg_bounds[p + 1]]]
+        )
+        label = dna_to_str(chars)
+        if is_palin[p]:
+            label = label[: (len(label) + k) // 2]
         if len(label) < min_contig:
             continue
-        flag = 1 if (start_in0[i] and end_out0[i]) else 0
         contigs.append(
-            Contig(label, min(65535.0, mult_path[i] / n), flag)
+            Contig(
+                label,
+                min(65535.0, float(depths[p]) / float(plens[p])),
+                int(flags[p]),
+            )
         )
     return contigs

@@ -106,8 +106,51 @@ def window_keys(words: jnp.ndarray, lengths: jnp.ndarray, k1: int):
     return keys, valid
 
 
-def rc_keys(keys: jnp.ndarray, k1: int) -> jnp.ndarray:
-    """Bitwise reverse complement of [..., 3] uint32 window keys."""
+def char_masks(n_chars: int):
+    """uint32 masks clearing bits below char `n_chars` of a 96-bit key."""
+    total_bits = n_chars * 2
+    m0 = jnp.uint32(
+        0xFFFFFFFF
+        if total_bits >= 32
+        else ~((1 << (32 - total_bits)) - 1) & 0xFFFFFFFF
+    )
+    b1 = max(0, min(32, total_bits - 32))
+    m1 = jnp.uint32(((0xFFFFFFFF << (32 - b1)) & 0xFFFFFFFF) if b1 else 0)
+    b2 = max(0, min(32, total_bits - 64))
+    m2 = jnp.uint32(((0xFFFFFFFF << (32 - b2)) & 0xFFFFFFFF) if b2 else 0)
+    return m0, m1, m2
+
+
+def mask_keys(keys: jnp.ndarray, n_chars: int) -> jnp.ndarray:
+    """Clear chars >= n_chars of [..., 3] uint32 big-endian keys."""
+    m0, m1, m2 = char_masks(n_chars)
+    return jnp.stack(
+        [keys[..., 0] & m0, keys[..., 1] & m1, keys[..., 2] & m2], axis=-1
+    )
+
+
+def shift_keys_left(keys: jnp.ndarray, n_chars: int) -> jnp.ndarray:
+    """Drop the first n_chars chars of [..., 3] keys (shift toward MSB);
+    the vacated low chars are NOT masked (mask_keys afterwards)."""
+    b = 2 * n_chars
+    assert 0 < b < 32
+    x0, x1, x2 = keys[..., 0], keys[..., 1], keys[..., 2]
+    s = jnp.uint32(b)
+    r = jnp.uint32(32 - b)
+    return jnp.stack(
+        [(x0 << s) | (x1 >> r), (x1 << s) | (x2 >> r), x2 << s], axis=-1
+    )
+
+
+def char_at(keys: jnp.ndarray, j: int) -> jnp.ndarray:
+    """Char j (0 = most significant) of [..., 3] uint32 keys, 0..3."""
+    w, r = divmod(j, 16)
+    return (keys[..., w] >> jnp.uint32(30 - 2 * r)) & 3
+
+
+def reverse_keys(keys: jnp.ndarray, k1: int) -> jnp.ndarray:
+    """Char order reversal of the first k1 chars of [..., 3] uint32 keys
+    (no complement); chars >= k1 are cleared."""
     x0, x1, x2 = keys[..., 0], keys[..., 1], keys[..., 2]
 
     def rev_word(w):
@@ -133,14 +176,18 @@ def rc_keys(keys: jnp.ndarray, k1: int) -> jnp.ndarray:
     s0 = shl(r[wsh], r[wsh + 1])
     s1 = shl(r[wsh + 1], r[wsh + 2])
     s2 = shl(r[wsh + 2], r[wsh + 3])
-    # complement chars, then clear bits below char k1
-    total_bits = k1 * 2
-    m0 = jnp.uint32(0xFFFFFFFF if total_bits >= 32 else (~((1 << (32 - total_bits)) - 1)) & 0xFFFFFFFF)
-    b1 = max(0, min(32, total_bits - 32))
-    m1 = jnp.uint32(((0xFFFFFFFF << (32 - b1)) & 0xFFFFFFFF) if b1 else 0)
-    b2 = max(0, min(32, total_bits - 64))
-    m2 = jnp.uint32(((0xFFFFFFFF << (32 - b2)) & 0xFFFFFFFF) if b2 else 0)
-    return jnp.stack([(~s0) & m0, (~s1) & m1, (~s2) & m2], axis=-1)
+    m0, m1, m2 = char_masks(k1)
+    return jnp.stack([s0 & m0, s1 & m1, s2 & m2], axis=-1)
+
+
+def rc_keys(keys: jnp.ndarray, k1: int) -> jnp.ndarray:
+    """Bitwise reverse complement of [..., 3] uint32 window keys."""
+    rev = reverse_keys(keys, k1)
+    m0, m1, m2 = char_masks(k1)
+    return jnp.stack(
+        [(~rev[..., 0]) & m0, (~rev[..., 1]) & m1, (~rev[..., 2]) & m2],
+        axis=-1,
+    )
 
 
 @partial(jax.jit, static_argnames=("k1",))
@@ -163,7 +210,12 @@ def counted_kmers(padded: jnp.ndarray, lengths: jnp.ndarray, k1: int):
 
 
 def count_sorted(keys: jnp.ndarray):
-    """Sort [M, 3] uint32 keys lexicographically; mark run starts."""
+    """Sort [M, 3] uint32 keys lexicographically; mark run starts.
+
+    Returns (sorted_keys, run_start, valid); run_start marks boundaries of
+    ALL runs including the trailing sentinel run (AND with valid for real
+    edges; the raw boundary is needed to bound the last real run's length).
+    """
     s0, s1, s2 = jax.lax.sort(
         (keys[:, 0], keys[:, 1], keys[:, 2]), num_keys=3
     )
@@ -171,4 +223,4 @@ def count_sorted(keys: jnp.ndarray):
     neq = jnp.ones(sk.shape[0], bool)
     neq = neq.at[1:].set((sk[1:] != sk[:-1]).any(axis=-1))
     valid = (sk != UMAX).any(axis=-1)
-    return sk, neq & valid, valid
+    return sk, neq, valid

@@ -20,7 +20,7 @@ def test_device_counts_match_host(k1):
         jnp.asarray(padded), jnp.asarray(lens), k1
     )
     sk = np.asarray(sk)
-    starts = np.flatnonzero(np.asarray(run_start))
+    starts = np.flatnonzero(np.asarray(run_start) & np.asarray(valid))
     bounds = np.append(starts, int(np.asarray(valid).sum()))
     counts = np.diff(bounds)
     dev_keys = sk[starts]
