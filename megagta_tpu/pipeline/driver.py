@@ -52,11 +52,19 @@ class Options:
     pe2: list = field(default_factory=list)
     continue_mode: bool = False
     use_wavefront: bool = True
-    pool_size: int = 1 << 14
+    pool_size: int = 1 << 13
     max_steps: int = 1 << 13
-    expand_width: int = 16
+    expand_width: int = 8  # B=8 measured fastest on v5e (tools/tune_search)
     use_cache: bool = True
     float64: bool = False
+    # None = auto: fused Pallas step kernels on TPU backends, plain XLA
+    # elsewhere (the kernels run everywhere via interpret mode, but only
+    # pay off on real hardware)
+    use_pallas: bool | None = None
+    chunk: int = 512  # seeds per device batch
+    # auto = device-resident construction on accelerator backends when the
+    # build is mercy/assist-free (device_builder.py), host numpy otherwise
+    build_engine: str = "auto"  # auto | host | device
 
     def validate(self):
         if not self.k_list:
@@ -83,9 +91,14 @@ class Options:
 
 class Pipeline:
     def __init__(self, opt: Options):
+        from ..parallel.dist import init_distributed
         from ..utils.jaxconfig import setup_jax
 
         setup_jax()
+        self.multihost = init_distributed()
+        import jax
+
+        self.p0 = jax.process_index() == 0
         opt.validate()
         self.opt = opt
         self.tmp_dir = os.path.join(opt.out_dir, "tmp")
@@ -95,9 +108,17 @@ class Pipeline:
         self.timer = StageTimer()
         if opt.continue_mode:
             self._load_checkpoint()
-        else:
+        elif self.p0:
             self._write_opts()
         self.gene_info = self._parse_gene_list()
+
+    def _sync(self, tag: str):
+        """Cross-host barrier (no-op single-process): stages that write
+        shared files must complete on process 0 before others read them."""
+        if self.multihost:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(tag)
 
     # ---------------------------------------------------------- checkpoints
 
@@ -131,8 +152,9 @@ class Pipeline:
         return (not self.opt.continue_mode) or (self.cp > self.last_cp)
 
     def _mark(self):
-        with open(self._cp_path(), "a") as f:
-            f.write(f"{self.cp}\tdone\n")
+        if self.p0:
+            with open(self._cp_path(), "a") as f:
+                f.write(f"{self.cp}\tdone\n")
         self.cp += 1
 
     # ------------------------------------------------------------- helpers
@@ -162,7 +184,7 @@ class Pipeline:
 
     def build_lib(self) -> str:
         lib_path = os.path.join(self.tmp_dir, "reads.lib")
-        if self._step():
+        if self._step() and self.p0:
             with open(lib_path, "w") as f:
                 for i in range(len(self.opt.pe1)):
                     f.write(f"{self.opt.pe1[i]},{self.opt.pe2[i]}\n")
@@ -172,12 +194,30 @@ class Pipeline:
             with self.timer.stage("buildlib"):
                 build_read_lib(lib_path, lib_path)
             report_rusage("buildlib")
+        self._sync("buildlib")
         self._mark()
         return lib_path
 
+    def _build_engine(self, mercy: bool, num_assist: int) -> str:
+        from ..graph.device_builder import device_build_supported
+
+        eng = self.opt.build_engine
+        if eng == "host":
+            return "host"
+        supported = device_build_supported(self.opt.min_count, None, num_assist) and not mercy
+        if eng == "device":
+            if not supported:
+                raise ValueError(
+                    "build_engine=device requires a mercy/assist-free build"
+                )
+            return "device"
+        import jax
+
+        return "device" if supported and jax.default_backend() != "cpu" else "host"
+
     def build_graph(self, k: int, assist_file: str | None, lib_path: str) -> str:
         prefix = self.graph_prefix(k)
-        if self._step():
+        if self._step() and self.p0:
             pkg = load_read_lib(lib_path)
             num_assist = 0
             if assist_file and os.path.exists(assist_file):
@@ -185,8 +225,10 @@ class Pipeline:
                 assist = ReadPackage(flat, starts)
                 num_assist = assist.num_reads
                 pkg = ReadPackage.concat([pkg, assist])
+            mercy = self.opt.min_count > 1 and not self.opt.no_mercy
+            engine = self._build_engine(mercy, num_assist)
             with self.timer.stage(f"buildgraph_k{k}"):
-                if self.opt.min_count > 1 and not self.opt.no_mercy:
+                if mercy:
                     from ..graph.mercy import solid_windows_with_mercy
 
                     solid = solid_windows_with_mercy(
@@ -196,19 +238,24 @@ class Pipeline:
                         pkg, k, self.opt.min_count, solid_mask=solid,
                         num_assist=num_assist,
                     )
+                elif engine == "device":
+                    from ..graph.device_builder import build_sdbg_device
+
+                    dbg = build_sdbg_device(pkg, k, self.opt.min_count)
                 else:
                     dbg = build_sdbg(
                         pkg, k, self.opt.min_count, num_assist=num_assist
                     )
                 dbg.save(prefix)
                 _write_counting_histogram(dbg, prefix + ".counting")
-            log(f"k={k}: SdBG with {dbg.size} rows saved to {prefix}")
+            log(f"k={k}: SdBG with {dbg.size} rows saved to {prefix} ({engine})")
             report_rusage(f"buildgraph k{k}")
+        self._sync(f"buildgraph_{k}")
         self._mark()
         return prefix
 
     def denovo(self, k: int, min_contig: int):
-        if self._step():
+        if self._step() and self.p0:
             dbg = SdBG.load(self.graph_prefix(k))
             with self.timer.stage(f"denovo_k{k}"):
                 contigs, stats = assemble(
@@ -222,11 +269,12 @@ class Pipeline:
             )
             log(f"k={k}: {stats['count']} contigs, N50 {stats['n50']}")
             report_rusage(f"denovo k{k}")
+        self._sync(f"denovo_{k}")
         self._mark()
 
     def find_seed(self, k: int, gene: str, lib_path: str, prev_contigs: str | None):
         seed_file = f"{self.graph_prefix(k)}_{gene}_starting_kmers.txt"
-        if self._step():
+        if self._step() and self.p0:
             pkg = load_read_lib(lib_path)
             records = [
                 (r.name, r.seq)
@@ -242,12 +290,14 @@ class Pipeline:
             write_seed_file(seed_file, seeds)
             log(f"{gene}: {len(seeds)} starting kmers")
             report_rusage(f"findstart {gene}")
+        self._sync(f"findstart_{gene}")
         self._mark()
         return seed_file
 
     def search(self, k: int, gene: str, seed_file: str) -> str:
         out_file = f"{self.graph_prefix(k)}_raw_contigs_{gene}.fasta"
         if self._step():
+            import jax
             import jax.numpy as jnp
 
             dbg = SdBG.load(self.graph_prefix(k))
@@ -255,11 +305,32 @@ class Pipeline:
             fwd = parse_hmm(info["forward_hmm"])
             rev = parse_hmm(info["reverse_hmm"])
             seeds = read_seed_file(seed_file)
+            # multi-host EP sharding: each host searches a contiguous seed
+            # slice (SURVEY.md 2.10: per-seed searches are embarrassingly
+            # parallel); process 0 merges the shard files afterwards
+            if self.multihost:
+                from ..parallel.dist import host_read_slice
+
+                lo, hi = host_read_slice(len(seeds))
+                my_seeds = seeds[lo:hi]
+            else:
+                my_seeds = seeds
             with self.timer.stage(f"search_{gene}"):
                 if self.opt.use_wavefront:
                     from ..search.runner import BatchSearcher
                     from ..search.wavefront import WavefrontConfig
 
+                    on_tpu = jax.default_backend() == "tpu"
+                    use_pallas = (
+                        self.opt.use_pallas
+                        if self.opt.use_pallas is not None
+                        else on_tpu
+                    )
+                    mesh = None
+                    if jax.device_count() > 1 and not self.multihost:
+                        from ..parallel.mesh import make_mesh
+
+                        mesh = make_mesh(axis="seeds")
                     bs = BatchSearcher(
                         dbg, fwd, rev,
                         heuristic_table(fwd), heuristic_table(rev),
@@ -270,10 +341,14 @@ class Pipeline:
                             low_cov_penalty=self.opt.low_cov_penalty,
                             expand_width=self.opt.expand_width,
                             use_cache=self.opt.use_cache,
+                            use_pallas=use_pallas,
+                            use_pallas_expand=use_pallas,
                         ),
                         dtype=jnp.float64 if self.opt.float64 else jnp.float32,
+                        chunk=self.opt.chunk,
+                        mesh=mesh,
                     )
-                    contigs = bs.search(seeds)
+                    contigs = bs.search(my_seeds)
                     log(f"{gene}: wavefront stats {bs.last_stats}")
                 else:
                     from ..search.astar import (
@@ -288,15 +363,40 @@ class Pipeline:
                     term, term_rev = {}, {}
                     contigs = [
                         search_seed(n, s, fwd, rev, fe, re_, dbg, searcher, term, term_rev)
-                        for n, s in seeds
+                        for n, s in my_seeds
                     ]
-            write_fasta(
-                out_file,
-                [
-                    (f"{gene}_contig_{2 * i}_contig_{2 * i + 1}", c)
-                    for i, c in enumerate(contigs)
-                ],
-            )
+            if self.multihost:
+                shard = f"{out_file}.shard{jax.process_index()}"
+                write_fasta(
+                    shard,
+                    [
+                        (f"{gene}_shard_{jax.process_index()}_{i}", c)
+                        for i, c in enumerate(contigs)
+                    ],
+                )
+                self._sync(f"search_{gene}")
+                if self.p0:
+                    merged = []
+                    for p in range(jax.process_count()):
+                        merged.extend(
+                            r.seq for r in _fastx_records(f"{out_file}.shard{p}")
+                        )
+                    write_fasta(
+                        out_file,
+                        [
+                            (f"{gene}_contig_{2 * i}_contig_{2 * i + 1}", c)
+                            for i, c in enumerate(merged)
+                        ],
+                    )
+                self._sync(f"search_merge_{gene}")
+            else:
+                write_fasta(
+                    out_file,
+                    [
+                        (f"{gene}_contig_{2 * i}_contig_{2 * i + 1}", c)
+                        for i, c in enumerate(contigs)
+                    ],
+                )
             log(f"{gene}: {len(contigs)} raw contigs")
             report_rusage(f"search {gene}")
         self._mark()
@@ -310,12 +410,13 @@ class Pipeline:
             raw = f"{self.graph_prefix(k)}_raw_contigs_{gene}.fasta"
             nucl = os.path.join(gdir, "nucl_merged.fasta")
             prot = os.path.join(gdir, "prot_merged.fasta")
-            if self._step():
+            if self._step() and self.p0:
                 stats = filter_by_len(raw, nucl, self.opt.min_contig_len)
                 log(f"{gene}: filtered {stats['count']} contigs, N50 {stats['n50']}")
             self._mark()
-            if self._step():
+            if self._step() and self.p0:
                 translate_fasta(nucl, prot)
+            self._sync(f"post_{gene}")
             self._mark()
 
     # ----------------------------------------------------------------- run
