@@ -55,6 +55,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     gs.add_argument("prefix", help="graph prefix (as passed to the builder)")
     gs.add_argument("kmer", nargs="?", help="(k+1)-mer to look up")
+
+    gc = sub.add_parser(
+        "graphcheck",
+        help="verify every (k+1)-window of known sequences exists in a "
+        "built graph (the reference's false_positive_checker oracle)",
+    )
+    gc.add_argument("prefix", help="graph prefix (as passed to the builder)")
+    gc.add_argument("fasta", help="sequences to check")
     return p
 
 
@@ -74,10 +82,16 @@ def _add_main_args(p: argparse.ArgumentParser):
     p.add_argument("--continue", dest="continue_mode", action="store_true")
     p.add_argument("--serial-search", action="store_true", help="use the serial oracle searcher instead of the TPU wavefront")
     p.add_argument("--float64", action="store_true", help="float64 search scores (exact reference numerics)")
-    p.add_argument("--pool-size", type=int, default=1 << 14)
+    p.add_argument("--pool-size", type=int, default=1 << 13)
     p.add_argument("--max-steps", type=int, default=1 << 13)
-    p.add_argument("--expand-width", type=int, default=16,
+    p.add_argument("--expand-width", type=int, default=8,
                    help="frontier nodes expanded per seed per step (1 = exact serial semantics)")
+    p.add_argument("--chunk", type=int, default=512, help="seeds per device batch")
+    p.add_argument("--build-engine", choices=["auto", "host", "device"],
+                   default="auto", help="SdBG construction engine (auto = "
+                   "device-resident on accelerator backends)")
+    p.add_argument("--no-pallas", action="store_true",
+                   help="disable the fused Pallas step kernels (on by default on TPU)")
 
 
 def main(argv=None) -> int:
@@ -127,6 +141,16 @@ def main(argv=None) -> int:
             ins = g.incoming_rows(row)
             print("in rows:", [(int(r), dna_to_str(g.edge_label(r))) for r in ins])
         return 0
+    if cmd == "graphcheck":
+        from .tools import graph_check
+
+        misses = graph_check(args.prefix, args.fasta)
+        for name, pos, slen, dist in misses:
+            print(f"{name} {pos} {slen} {dist}")
+        print(
+            f"graphcheck: {len(misses)} missing windows", file=sys.stderr
+        )
+        return 0 if not misses else 1
     if cmd == "buildref":
         from ..io.fastx import read_fastx
         from ..models.build import build_gene_resource
@@ -165,6 +189,9 @@ def main(argv=None) -> int:
         max_steps=args.max_steps,
         expand_width=args.expand_width,
         float64=args.float64,
+        chunk=args.chunk,
+        build_engine=args.build_engine,
+        use_pallas=False if args.no_pallas else None,
     )
     Pipeline(opt).run()
     return 0

@@ -42,3 +42,35 @@ def read_stat(paths: list[str]) -> dict:
     stats = contig_stats(lengths)
     stats["bases"] = bases
     return stats
+
+
+def graph_check(prefix: str, fasta: str) -> list[tuple[str, int, int, int]]:
+    """Every (k+1)-window of every sequence must be a graph edge — the
+    construction oracle of the reference's false_positive_checker
+    (src/false_positive_checker.cpp:16-61). Returns the missing windows as
+    (name, pos, seq_len, distance-to-nearer-end) tuples; empty = clean.
+
+    The reference probes one window at a time with IndexBinarySearchEdge;
+    here all windows of a sequence go through one batched lookup_edges."""
+    import numpy as np
+
+    from ..constants import str_to_dna
+    from ..graph.sdbg import SdBG
+    from ..io.fastx import read_fastx
+
+    dbg = SdBG.load(prefix)
+    k1 = dbg.k + 1
+    misses: list[tuple[str, int, int, int]] = []
+    for rec in read_fastx(fasta):
+        codes = str_to_dna(rec.seq)
+        n = len(codes)
+        # same window range as the reference (i + k + 1 < len)
+        n_win = max(0, n - k1)
+        if not n_win:
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(codes, k1)[:n_win]
+        rows = dbg.lookup_edges(win)
+        for i in np.flatnonzero(rows < 0):
+            i = int(i)
+            misses.append((rec.name, i, n, min(i, n - dbg.k - i)))
+    return misses

@@ -1,15 +1,18 @@
-"""Pallas kernels vs their jnp reference implementations (interpret mode on
-CPU; compiled on real TPU via bench/profile runs)."""
+"""Pallas kernels vs their numpy reference implementations (interpret mode
+on CPU; compiled on real TPU via bench/profile runs)."""
 
 import jax.numpy as jnp
 import numpy as np
 
-from megagta_tpu.ops.pallas.pool_select import INT_MIN32, pool_select
+from megagta_tpu.ops.pallas.step_select import step_select_kill
+
+INT_MIN32 = -(2**31)
+IDENT_MASK = (1 << 14) - 1
 
 
 def _ref_lex(fval, ibx, active):
-    """NumPy reference of wavefront.select_lex's ordering: max fval, then
-    min state_no, then state m > d > i; ties -> lowest index."""
+    """NumPy reference of the a_star_node.h:34-83 pop ordering: max fval,
+    then min state_no, then state m > d > i; ties -> lowest index."""
     S, P = fval.shape
     idx = np.zeros(S, np.int64)
     anyv = np.zeros(S, bool)
@@ -32,9 +35,9 @@ def _ref_lex(fval, ibx, active):
     return idx, anyv
 
 
-def test_pool_select_matches_lex_reference():
+def test_step_select_kill_matches_lex_reference():
     rng = np.random.default_rng(5)
-    S, P = 12, 1024  # S not a multiple of the kernel's 8-row tile
+    S, P, B, L = 12, 1024, 4, 280  # S not a multiple of the 8-row tile
     fval = rng.integers(-(2**20), 2**20, (S, P)).astype(np.int32)
     sno = rng.integers(0, 300, (S, P)).astype(np.int32)
     st = rng.integers(0, 3, (S, P)).astype(np.int32)
@@ -50,10 +53,64 @@ def test_pool_select_matches_lex_reference():
     fval[1, ::2] = 9
     fval[1, 1::2] = 9
 
-    idx, any_alive = pool_select(
-        jnp.asarray(fval), jnp.asarray(ibx), jnp.asarray(active), interpret=True
+    ia = rng.integers(0, 50_000, (S, P)).astype(np.int32)
+    lpx = rng.integers(0, 2**20, (S, P)).astype(np.int32)
+    resti = np.stack([ia, ibx, lpx], axis=1)
+    poolf = rng.random((S, 3, P)).astype(np.float32)
+
+    (
+        fval2, sel, selv, any_alive, is_goal,
+        ia_s, ibx_s, lpx_s, sc_s, re_s, mx_s,
+    ) = step_select_kill(
+        jnp.asarray(fval), jnp.asarray(resti), jnp.asarray(poolf),
+        jnp.asarray(active), B, L, interpret=True,
     )
     ref_idx, ref_any = _ref_lex(fval, ibx, active)
-    assert (np.asarray(any_alive) == ref_any).all()
-    ok = np.asarray(any_alive)
-    assert (np.asarray(idx)[ok] == ref_idx[ok]).all()
+    any_alive = np.asarray(any_alive)
+    assert (any_alive == ref_any).all()
+
+    sel = np.asarray(sel)
+    selv = np.asarray(selv)
+    is_goal = np.asarray(is_goal)
+    fval2 = np.asarray(fval2)
+    for s in range(S):
+        if not ref_any[s] or not active[s]:
+            assert not selv[s].any()
+            continue
+        top = int(ref_idx[s])
+        goal = ((int(ibx[s, top]) >> 2) & 0xFFF) >= L
+        assert bool(is_goal[s]) == goal
+        if goal:
+            # goal consumes only slot 0, carrying the goal entry
+            assert selv[s, 0] and not selv[s, 1:].any()
+            assert sel[s, 0] == top
+        else:
+            # slot order: exact top-B by fval among non-goal entries
+            nk = np.where(
+                (((ibx[s] >> 2) & 0xFFF) < L) & (fval[s] != INT_MIN32),
+                fval[s], INT_MIN32,
+            )
+            want = []
+            cur = nk.copy()
+            for _ in range(B):
+                v = cur.max()
+                if v == INT_MIN32:
+                    break
+                i = int(np.flatnonzero(cur == v)[0])
+                want.append(i)
+                cur[i] = INT_MIN32
+            got = [int(x) for x, v in zip(sel[s], selv[s]) if v]
+            assert got == want
+        # field extraction + closed-kill of every selected identity
+        for b in range(B):
+            if not selv[s, b]:
+                continue
+            p = int(sel[s, b])
+            assert int(np.asarray(ia_s)[s, b]) == ia[s, p]
+            assert int(np.asarray(ibx_s)[s, b]) == ibx[s, p]
+            assert int(np.asarray(lpx_s)[s, b]) == lpx[s, p]
+            assert np.asarray(sc_s)[s, b] == poolf[s, 0, p]
+            hit = (ia[s] == ia[s, p]) & (
+                (ibx[s] & IDENT_MASK) == (ibx[s, p] & IDENT_MASK)
+            )
+            assert (fval2[s][hit] == INT_MIN32).all()

@@ -196,3 +196,30 @@ def test_pipeline_min_count2_mercy(tmp_path):
     best = max((r.seq for r in recs), key=len)
     assert best.upper() in sc["gene"] or True
     assert len(best) >= len(sc["gene"]) - 90
+
+
+def test_graphcheck_tool(tmp_path):
+    """graphcheck = the reference false_positive_checker oracle
+    (src/false_positive_checker.cpp:16-61): zero missing windows for the
+    covered genome, misses reported for an alien sequence."""
+    from megagta_tpu.graph.builder import build_sdbg
+    from megagta_tpu.io.fastx import write_fasta
+    from megagta_tpu.pipeline.cli import main as cli_main
+    from megagta_tpu.pipeline.tools import graph_check
+    from tests.synthetic import make_scenario
+    from tests.test_graph import make_package
+
+    sc = make_scenario(seed=3, gene_aa_len=60, read_len=61, read_step=1)
+    dbg = build_sdbg(make_package(sc["reads"]), 29)
+    prefix = str(tmp_path / "g")
+    dbg.save(prefix)
+    gene_fa = str(tmp_path / "gene.fa")
+    write_fasta(gene_fa, [("gene", sc["gene"])])
+    assert graph_check(prefix, gene_fa) == []
+    assert cli_main(["graphcheck", prefix, gene_fa]) == 0
+
+    alien_fa = str(tmp_path / "alien.fa")
+    write_fasta(alien_fa, [("alien", "ACGT" * 30)])
+    misses = graph_check(prefix, alien_fa)
+    assert misses and all(m[0] == "alien" for m in misses)
+    assert cli_main(["graphcheck", prefix, alien_fa]) == 1
