@@ -258,6 +258,44 @@ def _round_up_pow2(x: int) -> int:
     return 1 << max(6, (x - 1).bit_length())
 
 
+def sdbg_from_phase2(res: dict, k: int) -> SdBG:
+    """Download the phase-2 row planes (one stacked transfer after a
+    row-count fetch) and assemble the host SdBG."""
+    n_rows = int(res["n_rows"])  # host fetch: row-count bucket
+    R = min(_round_up_pow2(max(n_rows, 1)), res["w"].shape[0])
+    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
+    planes = np.asarray(
+        jnp.stack(
+            [
+                res["w"][:R],
+                res["last"][:R].astype(jnp.int32),
+                res["is_tip"][:R],
+                res["mult"][:R],
+                bc(res["tl"][:R, 0]),
+                bc(res["tl"][:R, 1]),
+                bc(res["tl"][:R, 2]),
+            ]
+        )
+    )[:, :n_rows]
+    f = np.asarray(res["f"]).astype(np.int64)
+    is_tip = planes[2].astype(bool)
+    tip_words = np.ascontiguousarray(planes[4:7].T[is_tip]).view(np.uint32)
+    tip_labels = (
+        _unpack_node_words(tip_words, k - 1)
+        if tip_words.size
+        else np.zeros((0, k - 1), np.int8)
+    )
+    return SdBG(
+        k=k,
+        w=planes[0].astype(np.uint8),
+        last=planes[1].astype(bool),
+        is_tip=is_tip,
+        mult=planes[3].astype(np.int32),
+        f=f,
+        tip_labels=tip_labels,
+    ).finalize()
+
+
 def build_sdbg_device(
     package: ReadPackage,
     k: int,
@@ -276,40 +314,4 @@ def build_sdbg_device(
     E = min(_round_up_pow2(max(n_edges, 1) * 2), keys.shape[0])
     E = max(E, _round_up_pow2(n_edges))
     res = _phase2(keys[:E], mult[:E], n_edges_d, k)
-    n_rows = int(res["n_rows"])  # host fetch 2: row-count bucket
-    R = min(_round_up_pow2(max(n_rows, 1)), res["w"].shape[0])
-    # host fetch 3: one stacked download of the row planes
-    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
-    planes = np.asarray(
-        jnp.stack(
-            [
-                res["w"][:R],
-                res["last"][:R].astype(jnp.int32),
-                res["is_tip"][:R],
-                res["mult"][:R],
-                bc(res["tl"][:R, 0]),
-                bc(res["tl"][:R, 1]),
-                bc(res["tl"][:R, 2]),
-            ]
-        )
-    )[:, :n_rows]
-    f = np.asarray(res["f"]).astype(np.int64)
-    w = planes[0].astype(np.uint8)
-    last = planes[1].astype(bool)
-    is_tip = planes[2].astype(bool)
-    row_mult = planes[3].astype(np.int32)
-    tip_words = np.ascontiguousarray(planes[4:7].T[is_tip]).view(np.uint32)
-    tip_labels = (
-        _unpack_node_words(tip_words, k - 1)
-        if tip_words.size
-        else np.zeros((0, k - 1), np.int8)
-    )
-    return SdBG(
-        k=k,
-        w=w,
-        last=last,
-        is_tip=is_tip,
-        mult=row_mult,
-        f=f,
-        tip_labels=tip_labels,
-    ).finalize()
+    return sdbg_from_phase2(res, k)

@@ -61,7 +61,7 @@ def bucket_histogram(prefix_words: jnp.ndarray, valid: jnp.ndarray, num_buckets:
 
 def sharded_bucket_histogram(mesh: Mesh, prefix_words, valid, axis: str = "data"):
     """DP counting: per-device partial histograms merged with psum."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     @partial(
         shard_map,

@@ -24,6 +24,9 @@ WORKER = textwrap.dedent(
     import os, sys, time
     sys.path.insert(0, os.environ["MEGAGTA_REPO"])
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # this environment's TPU plugin ignores the env var; jax.config wins
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     from megagta_tpu.pipeline.driver import Options, Pipeline
     opt = Options(
         out_dir=os.environ["OUT_DIR"],
@@ -31,8 +34,8 @@ WORKER = textwrap.dedent(
         reads=[os.environ["READS_FA"]],
         gene_list=os.environ["GENE_LIST"],
         use_wavefront=True,
-        pool_size=1 << 11,
-        max_steps=1 << 10,
+        pool_size=1 << 10,
+        max_steps=1 << 9,
         expand_width=4,
         chunk=16,
         min_contig_len=30,
@@ -60,7 +63,7 @@ def _scenario_files(tmp_path):
     from megagta_tpu.io.fastx import write_fasta
     from megagta_tpu.models.build import build_gene_resource
 
-    sc = make_scenario(seed=13, gene_aa_len=60, read_len=61, read_step=3)
+    sc = make_scenario(seed=13, gene_aa_len=40, read_len=61, read_step=4)
     reads_fa = str(tmp_path / "reads.fa")
     write_fasta(reads_fa, [(f"r{i}", s) for i, s in enumerate(sc["reads"])])
     res = build_gene_resource("geneA", sc["aligned"], str(tmp_path / "genes"))
@@ -99,7 +102,7 @@ def test_two_process_pipeline(tmp_path):
         [sys.executable, "-c", WORKER.replace(
             "assert p.multihost", "assert not p.multihost  #"
         )],
-        env=env0, capture_output=True, text=True, timeout=500,
+        env=env0, capture_output=True, text=True, timeout=900,
     )
     assert single.returncode == 0, single.stderr[-2000:]
 
@@ -121,7 +124,7 @@ def test_two_process_pipeline(tmp_path):
             )
         )
     for p in procs:
-        out, err = p.communicate(timeout=500)
+        out, err = p.communicate(timeout=900)
         assert p.returncode == 0, err[-2000:]
 
     raw = "k29/29_raw_contigs_geneA.fasta"

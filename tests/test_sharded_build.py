@@ -1,0 +1,42 @@
+"""Keyspace-sharded (all_to_all) counting == single-device builder,
+bit-for-bit, on the 8-device virtual CPU mesh (VERDICT round-2 ask #3)."""
+
+import numpy as np
+import pytest
+
+from megagta_tpu.graph.builder import build_sdbg
+from megagta_tpu.parallel.mesh import make_mesh
+from megagta_tpu.parallel.sharded_build import build_sdbg_sharded
+from tests.synthetic import make_scenario
+from tests.test_device_builder import assert_sdbg_equal
+from tests.test_graph import make_package
+
+
+@pytest.mark.parametrize("k,devices", [(29, 8), (44, 8), (29, 4)])
+def test_sharded_build_matches_host(k, devices):
+    sc = make_scenario(seed=41, gene_aa_len=70, read_len=75, read_step=3)
+    pkg = make_package(sc["reads"])
+    mesh = make_mesh(devices)
+    host = build_sdbg(pkg, k)
+    dev = build_sdbg_sharded(mesh, pkg, k)
+    assert_sdbg_equal(host, dev)
+
+
+def test_sharded_build_overflow_retry():
+    # balance tiny enough to force the capacity-overflow retry path
+    sc = make_scenario(seed=42, gene_aa_len=50, read_len=60, read_step=2)
+    pkg = make_package(sc["reads"])
+    mesh = make_mesh(8)
+    host = build_sdbg(pkg, 29)
+    dev = build_sdbg_sharded(mesh, pkg, 29, balance=0.05)
+    assert_sdbg_equal(host, dev)
+
+
+def test_sharded_build_min_count():
+    sc = make_scenario(seed=43, gene_aa_len=50, read_len=60, read_step=2)
+    reads = sc["reads"] + sc["reads"][::2]
+    pkg = make_package(reads)
+    mesh = make_mesh(8)
+    host = build_sdbg(pkg, 29, min_count=2)
+    dev = build_sdbg_sharded(mesh, pkg, 29, min_count=2)
+    assert_sdbg_equal(host, dev)

@@ -117,8 +117,10 @@ def run_reference_pipeline(
 
 
 def parse_sdbg_info(path: str) -> dict:
-    """Parse the reference .sdbg_info header (sdbg_multi_io.h:161-181)."""
-    out = {}
+    """Parse the reference .sdbg_info header + per-bucket table
+    (sdbg_multi_io.h:161-181): bucket lines are
+    `bucket thread_id starting_offset num_items num_tips num_large_mul`."""
+    out = {"buckets": []}
     with open(path) as f:
         for line in f:
             toks = line.split()
@@ -127,6 +129,10 @@ def parse_sdbg_info(path: str) -> dict:
                 "total_size", "num_tips", "large_multi",
             ):
                 out[toks[0]] = int(toks[1])
+            elif len(toks) == 6:
+                b, tid, off, n, _nt, _nl = map(int, toks)
+                if tid >= 0 and n > 0:
+                    out["buckets"].append((b, tid, off, n))
     return out
 
 
@@ -147,3 +153,72 @@ def run_reference_denovo(
     ]
     _run(args)
     return out_prefix + ".contigs.fa"
+
+
+def parse_sdbg_items(prefix: str) -> dict:
+    """Parse the reference's .sdbg.{tid} item stream into row arrays.
+
+    Format (sdbg_multi_io.h:83-112, SdbgWriter::write): per row one uint16
+    `w | last<<4 | tip<<5 | min(mult,255)<<8`; multiplicities > 254 append
+    the full uint16; tip rows append words_per_tip_label uint32 label words
+    (2-bit chars, big-endian within each word). Rows are grouped by bucket;
+    the .sdbg_info bucket table maps bucket -> (thread file, byte offset,
+    item count), and ascending-bucket traversal yields global row order.
+    """
+    import struct
+
+    info = parse_sdbg_info(prefix + ".sdbg_info")
+    wptl = info["words_per_tip_label"]
+    buckets = info["buckets"]
+    data = {}
+    for tid in range(info["num_threads"]):
+        with open(f"{prefix}.sdbg.{tid}", "rb") as f:
+            data[tid] = f.read()
+    w, last, tip, mult = [], [], [], []
+    tip_words = []
+    for bucket, tid, off, n_items in buckets:
+        if n_items == 0:
+            continue
+        buf = data[tid]
+        pos = off
+        for _ in range(n_items):
+            (item,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            m = item >> 8
+            if m == 255:
+                (m,) = struct.unpack_from("<H", buf, pos)
+                pos += 2
+            is_tip = (item >> 5) & 1
+            w.append(item & 0xF)
+            last.append((item >> 4) & 1)
+            tip.append(is_tip)
+            mult.append(m)
+            if is_tip:
+                tip_words.append(struct.unpack_from(f"<{wptl}I", buf, pos))
+                pos += 4 * wptl
+    import numpy as np
+
+    return {
+        "w": np.array(w, np.uint8),
+        "last": np.array(last, bool),
+        "is_tip": np.array(tip, bool),
+        "mult": np.array(mult, np.int32),
+        "tip_words": np.array(tip_words, np.uint32).reshape(-1, wptl),
+        "k": info["k"],
+    }
+
+
+def tip_words_to_labels(tip_words, k: int):
+    """Decode tip label words to (k-1)-char code arrays (natural order).
+
+    succinct_dbg.cpp Label(): char j of the word stream fills seq[i - j]
+    (2-bit big-endian within each uint32)."""
+    import numpy as np
+
+    n = len(tip_words)
+    out = np.zeros((n, k - 1), np.int8)
+    for j in range(k - 1):
+        wword = tip_words[:, j // 16]
+        shift = (16 - 1 - (j % 16)) * 2
+        out[:, k - 2 - j] = (wword >> shift) & 3
+    return out
