@@ -104,3 +104,46 @@ def test_build_hmm_tables_valid():
     assert np.allclose(mp[1:].sum(axis=1), 1.0)
     assert np.allclose(tp[:, 0:3].sum(axis=1), 1.0)
     assert np.allclose(compo.sum(), 1.0)
+
+
+def test_parse_real_hmmer3b_file():
+    """Parse a verbatim hmmbuild-layout HMMER3/b file (ACC/DESC/GA/TC/NC/
+    STATS header lines, MAP/CONS/RF annotation columns on match lines,
+    '*' infinities in emission and transition rows) — the quirks the
+    mini-hmmbuild writer (models/build.py) never produces. Field semantics
+    mirrored from the reference parser (src/hmmer3b_parser.h:19-176)."""
+    import math
+    import os
+
+    import numpy as np
+
+    from megagta_tpu.hmm.heuristic import heuristic_table
+    from megagta_tpu.hmm.parser import parse_hmm
+    from megagta_tpu.hmm.profile import MD, MM, PROTEIN
+
+    path = os.path.join(os.path.dirname(__file__), "data", "rplB_frag.hmm")
+    hmm = parse_hmm(path)
+    assert hmm.name == "rplB_frag"
+    assert hmm.model_length == 4
+    assert hmm.alphabet == PROTEIN
+    assert hmm.alphabet_chars == "ACDEFGHIKLMNPQRSTVWY"
+    assert hmm.version == "HMMER3/b"
+
+    # COMPO normalization: msc = log(exp(-v) / compo[j])
+    v, c = 3.16986, 2.59266  # state 1, 'A'
+    assert math.isclose(
+        hmm.msc[1, 0], math.log(math.exp(-v) / math.exp(-c)), rel_tol=1e-9
+    )
+    # '*' match emission ('G' in state 4) -> -inf
+    assert np.isneginf(hmm.msc[4, 5])
+    # annotation columns (MAP/CONS/RF) must not bleed into the floats
+    assert np.isfinite(hmm.msc[1, 1:]).all()
+    # insert emissions forced to 0 in normalized mode; final row -inf
+    assert (hmm.isc[:4] == 0.0).all()
+    assert np.isneginf(hmm.isc[4]).all()
+    # '*' transitions -> -inf (m->d and d->d of the final node)
+    assert np.isneginf(hmm.trans[4, MD])
+    assert np.isfinite(hmm.trans[1, MM])
+    # the heuristic precompute must accept the real file
+    h = heuristic_table(hmm)
+    assert h.shape == (3, 5) and np.isfinite(h[0, 1:]).any()

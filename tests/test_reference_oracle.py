@@ -204,3 +204,70 @@ def test_mercy_graph_matches(tmp_path):
     assert dbg.k == info["k"]
     assert dbg.size == info["total_size"], (dbg.size, info["total_size"])
     assert int(dbg.is_tip.sum()) == info["num_tips"]
+
+
+def test_graph_content_matches(both_runs):
+    """Full row-content equality vs the reference .sdbg item stream
+    (W, last, tip flags, multiplicities, decoded tip labels) — not just the
+    .sdbg_info shape counters."""
+    d, sc, paths, ref = both_runs
+    items = ref_oracle.parse_sdbg_items(ref["prefix"])
+    dbg = build_sdbg(make_package(sc["reads"]), K - 1)
+    assert items["k"] == dbg.k
+    np.testing.assert_array_equal(dbg.w, items["w"])
+    np.testing.assert_array_equal(dbg.last, items["last"])
+    np.testing.assert_array_equal(dbg.is_tip, items["is_tip"])
+    np.testing.assert_array_equal(
+        np.minimum(dbg.mult, 65535), items["mult"]
+    )
+    labels = ref_oracle.tip_words_to_labels(items["tip_words"], items["k"])
+    np.testing.assert_array_equal(dbg.tip_labels, labels)
+
+
+def test_bench_workload_k44_graph_and_contigs(tmp_path):
+    """The production bench workload (k=44, synthetic rplB-like family):
+    graph content equality via the item stream AND contig equality via the
+    wavefront searcher — previously only exercised at k=30."""
+    from synth_workload import make_workload
+
+    import jax.numpy as jnp
+
+    from megagta_tpu.io.fastx import parse_fastx_bytes
+    from megagta_tpu.search.runner import BatchSearcher
+    from megagta_tpu.search.wavefront import WavefrontConfig
+
+    KB = 45
+    info = make_workload(str(tmp_path / "wl"))
+    flat, starts, _ = parse_fastx_bytes(info["reads_fa"])
+    pkg = ReadPackage(flat, starts)
+    ref = ref_oracle.run_reference_pipeline(
+        str(tmp_path / "ref"), info["reads_fa"], info["gene_name"],
+        info["forward_hmm"], info["reverse_hmm"], info["ref_aligned"],
+        K=KB, threads=1,
+    )
+    dbg = build_sdbg(pkg, KB - 1)
+    items = ref_oracle.parse_sdbg_items(ref["prefix"])
+    np.testing.assert_array_equal(dbg.w, items["w"])
+    np.testing.assert_array_equal(dbg.last, items["last"])
+    np.testing.assert_array_equal(
+        np.minimum(dbg.mult, 65535), items["mult"]
+    )
+    np.testing.assert_array_equal(
+        dbg.tip_labels,
+        ref_oracle.tip_words_to_labels(items["tip_words"], items["k"]),
+    )
+
+    # contig equality on a seed subsample (full 1430-seed equality is the
+    # bench's digest check; 150 seeds keep this test CPU-sized)
+    ref_contigs = {r.seq.upper() for r in read_fastx(ref["contigs"])}
+    fwd = parse_hmm(info["forward_hmm"])
+    rev = parse_hmm(info["reverse_hmm"])
+    seeds = read_seed_file(ref["seeds"])[:150]
+    bs = BatchSearcher(
+        dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
+        WavefrontConfig(pool_size=1 << 12, max_steps=1 << 11, expand_width=8,
+                        use_cache=True),
+        dtype=jnp.float64, chunk=64,
+    )
+    ours = bs.search(seeds)
+    assert ours and all(c.upper() in ref_contigs for c in ours)
