@@ -90,6 +90,8 @@ def _add_main_args(p: argparse.ArgumentParser):
     p.add_argument("--build-engine", choices=["auto", "host", "device"],
                    default="auto", help="SdBG construction engine (auto = "
                    "device-resident on accelerator backends)")
+    p.add_argument("--dist-cutoff", type=float, default=0.01,
+                   help="post-processing cluster distance (0.01 = 99%% aa identity)")
     p.add_argument("--no-pallas", action="store_true",
                    help="disable the fused Pallas step kernels (on by default on TPU)")
 
@@ -192,6 +194,7 @@ def main(argv=None) -> int:
         chunk=args.chunk,
         build_engine=args.build_engine,
         use_pallas=False if args.no_pallas else None,
+        dist_cutoff=args.dist_cutoff,
     )
     Pipeline(opt).run()
     return 0

@@ -65,6 +65,8 @@ class Options:
     # auto = device-resident construction on accelerator backends when the
     # build is mercy/assist-free (device_builder.py), host numpy otherwise
     build_engine: str = "auto"  # auto | host | device
+    # L8 clustering distance (bin/post_proc.sh -c; 0.01 = 99% aa identity)
+    dist_cutoff: float = 0.01
 
     def validate(self):
         if not self.k_list:
@@ -416,6 +418,23 @@ class Pipeline:
             self._mark()
             if self._step() and self.p0:
                 translate_fasta(nucl, prot)
+            self._mark()
+            # L8: dereplication, clustering, chimera screen, nearest-ref
+            # (the in-process equivalent of bin/post_proc.sh)
+            if self._step() and self.p0:
+                from .postproc import post_process_gene
+
+                refs = [
+                    (r.name, r.seq)
+                    for r in _fastx_records(
+                        self.gene_info[gene]["ref_aligned"]
+                    )
+                ]
+                with self.timer.stage(f"postproc_{gene}"):
+                    stats = post_process_gene(
+                        gdir, refs, self.opt.dist_cutoff
+                    )
+                log(f"{gene}: post-proc {stats}")
             self._sync(f"post_{gene}")
             self._mark()
 
