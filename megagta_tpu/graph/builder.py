@@ -106,14 +106,93 @@ def edges_from_reads(
     return edges, mult
 
 
+def _merge_runs(acc, acc_m, new, new_m):
+    """Merge two sorted distinct (keys [N, W] uint64, mult) relations."""
+    allk = np.concatenate([acc, new])
+    allm = np.concatenate([acc_m, new_m]).astype(np.int64)
+    order = _argsort_rows(allk)
+    sk = allk[order]
+    sm = allm[order]
+    new_run = np.ones(len(sk), bool)
+    if len(sk) > 1:
+        new_run[1:] = (sk[1:] != sk[:-1]).any(axis=1)
+    starts = np.flatnonzero(new_run)
+    mult = np.add.reduceat(sm, starts) if len(starts) else sm[:0]
+    return sk[new_run], mult
+
+
+def edges_from_reads_streaming(
+    package: ReadPackage,
+    k: int,
+    min_count: int = 1,
+    batch_reads: int = 4_000_000,
+    engine: str = "host",
+):
+    """RAM-bounded counting: reads stream through window extraction in
+    batches (the reference's 4M-read ingestion batches + RAM-budgeted CX1
+    passes, src/read_lib_functions-inl.h:178-179, cx1.h:125-202); per-batch
+    distinct-edge runs are merged into a running sorted relation, so peak
+    memory is one batch's occurrence multiset + the distinct set — never
+    the whole dataset's windows. engine="device" counts each batch on the
+    accelerator (graph/device_builder phase 1)."""
+    acc_k = None
+    acc_m = None
+    for lo in range(0, package.num_reads, batch_reads):
+        sub = package.read_slice(lo, min(lo + batch_reads, package.num_reads))
+        if engine == "device":
+            import jax.numpy as jnp
+
+            from .device_builder import _phase1
+
+            padded, lens = sub.padded()
+            keys, mult_d, n_edges_d = _phase1(
+                jnp.asarray(padded), jnp.asarray(lens), k + 1, 1
+            )
+            n = int(n_edges_d)
+            kk = np.asarray(keys[:n])  # [n, 3] uint32 big-endian 96-bit
+            bm = np.asarray(mult_d[:n]).astype(np.int64)
+            # 3x32 -> uint64 word keys (same big-endian char order)
+            from ..ops.dna import kmer_words
+
+            bk = np.zeros((n, 2), np.uint64)
+            bk[:, 0] = (kk[:, 0].astype(np.uint64) << np.uint64(32)) | kk[
+                :, 1
+            ].astype(np.uint64)
+            bk[:, 1] = kk[:, 2].astype(np.uint64) << np.uint64(32)
+            bk = bk[:, : kmer_words(k + 1)]
+        else:
+            edges, bm = edges_from_reads(sub, k, 1)
+            bk = pack_kmers(edges, k + 1)
+        if acc_k is None:
+            acc_k, acc_m = bk, bm
+        else:
+            acc_k, acc_m = _merge_runs(acc_k, acc_m, bk, bm)
+    if acc_k is None:
+        return np.zeros((0, k + 1), np.int8), np.zeros(0, np.int32)
+    if min_count > 1:
+        keep = acc_m >= min_count
+        acc_k, acc_m = acc_k[keep], acc_m[keep]
+    from ..ops.dna import unpack_kmers
+
+    return unpack_kmers(acc_k, k + 1), acc_m.astype(np.int32)
+
+
 def build_sdbg(
     package: ReadPackage,
     k: int,
     min_count: int = 1,
     solid_mask: np.ndarray | None = None,
     num_assist: int = 0,
+    batch_reads: int | None = None,
 ) -> SdBG:
-    edges, mult = edges_from_reads(package, k, min_count, solid_mask, num_assist)
+    if batch_reads and solid_mask is None and num_assist == 0:
+        edges, mult = edges_from_reads_streaming(
+            package, k, min_count, batch_reads
+        )
+    else:
+        edges, mult = edges_from_reads(
+            package, k, min_count, solid_mask, num_assist
+        )
     return sdbg_from_edges(edges, mult, k)
 
 

@@ -300,13 +300,43 @@ def build_sdbg_device(
     package: ReadPackage,
     k: int,
     min_count: int = 1,
+    batch_reads: int | None = None,
 ) -> SdBG:
     """Device-resident equivalent of builder.build_sdbg (kmin-1pass path).
 
     Produces bit-identical (w, last, is_tip, mult, f, tip_labels) to the
-    host builder (tested full-array in tests/test_device_builder.py)."""
-    padded, lens = package.padded()
+    host builder (tested full-array in tests/test_device_builder.py).
+    With batch_reads set and exceeded, phase 1 streams read batches through
+    the device (RAM/HBM-bounded; builder.edges_from_reads_streaming) and
+    only the merged distinct-edge relation reaches phase 2."""
     k1 = k + 1
+    if batch_reads and package.num_reads > batch_reads:
+        from .builder import edges_from_reads_streaming
+        from ..ops.dna import pack_kmers
+
+        edges, mult_np = edges_from_reads_streaming(
+            package, k, min_count, batch_reads, engine="device"
+        )
+        n_edges = len(edges)
+        E = _round_up_pow2(max(n_edges, 1))
+        words = pack_kmers(edges, k1)  # [n, W<=2] uint64 big-endian
+        ek = np.full((E, 3), np.uint32(0xFFFFFFFF), np.uint32)
+        ek[:n_edges, 0] = (words[:, 0] >> np.uint64(32)).astype(np.uint32)
+        ek[:n_edges, 1] = (words[:, 0] & np.uint64(0xFFFFFFFF)).astype(
+            np.uint32
+        )
+        ek[:n_edges, 2] = (
+            (words[:, 1] >> np.uint64(32)).astype(np.uint32)
+            if words.shape[1] > 1
+            else 0
+        )
+        ms = np.zeros(E, np.int32)
+        ms[:n_edges] = mult_np
+        res = _phase2(
+            jnp.asarray(ek), jnp.asarray(ms), jnp.int32(n_edges), k
+        )
+        return sdbg_from_phase2(res, k)
+    padded, lens = package.padded()
     keys, mult, n_edges_d = _phase1(
         jnp.asarray(padded), jnp.asarray(lens), k1, min_count
     )

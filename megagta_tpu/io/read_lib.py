@@ -48,6 +48,11 @@ class ReadPackage:
     def read(self, i: int) -> np.ndarray:
         return self.flat[self.starts[i] : self.starts[i + 1]]
 
+    def read_slice(self, lo: int, hi: int) -> "ReadPackage":
+        """Zero-copy view of reads [lo, hi) (streaming batch windows)."""
+        s = self.starts[lo : hi + 1]
+        return ReadPackage(self.flat[s[0] : s[-1]], s - s[0])
+
     def padded(self, pad_to: int | None = None, fill: int = 0):
         """Dense [num_reads, L] int8 matrix + lengths, for device pipelines."""
         L = pad_to or self.max_length

@@ -67,6 +67,10 @@ class Options:
     build_engine: str = "auto"  # auto | host | device
     # L8 clustering distance (bin/post_proc.sh -c; 0.01 = 99% aa identity)
     dist_cutoff: float = 0.01
+    # streaming-counting batch (reference 4M-read ingestion batches,
+    # src/read_lib_functions-inl.h:178-179); datasets at or under one
+    # batch take the whole-array path
+    batch_reads: int = 4_000_000
 
     def validate(self):
         if not self.k_list:
@@ -243,10 +247,19 @@ class Pipeline:
                 elif engine == "device":
                     from ..graph.device_builder import build_sdbg_device
 
-                    dbg = build_sdbg_device(pkg, k, self.opt.min_count)
+                    dbg = build_sdbg_device(
+                        pkg, k, self.opt.min_count,
+                        batch_reads=self.opt.batch_reads,
+                    )
                 else:
                     dbg = build_sdbg(
-                        pkg, k, self.opt.min_count, num_assist=num_assist
+                        pkg, k, self.opt.min_count, num_assist=num_assist,
+                        batch_reads=(
+                            self.opt.batch_reads
+                            if pkg.num_reads > self.opt.batch_reads
+                            and num_assist == 0
+                            else None
+                        ),
                     )
                 dbg.save(prefix)
                 _write_counting_histogram(dbg, prefix + ".counting")

@@ -298,6 +298,11 @@ class BatchSearcher:
     dtype: object = jnp.float32
     chunk: int = 128  # seeds per device batch (fixed shape: one compile,
     # bounded pool memory; the last chunk is padded with absent seeds)
+    # straggler deferral: regular chunks stop after this many lockstep
+    # steps (a DYNAMIC cap — no recompile); seeds still active are re-run
+    # afterwards in dedicated full-depth chunks, so one deep search never
+    # holds a whole chunk of finished seeds hostage. 0 disables.
+    defer_steps: int = 256
 
     mesh: object = None  # jax.sharding.Mesh to shard the seed axis over
 
@@ -366,8 +371,11 @@ class BatchSearcher:
         """seeds: [(nucl lowercase, start_state 0-based)] -> contigs."""
         if not seeds:
             return []
-        self.last_stats = {"expansions": 0, "steps": 0, "overflow": 0}
-        out: list[str] = []
+        self.last_stats = {
+            "expansions": 0, "steps": 0, "overflow": 0, "deferred": 0,
+        }
+        results: dict[int, str] = {}
+        order = list(range(len(seeds)))
         start = 0
         if (
             self.cache_f is not None
@@ -379,11 +387,32 @@ class BatchSearcher:
             # the same way as its first seeds complete); padded to the
             # standard chunk shape so no extra compilation happens
             warm = max(1, self.chunk // 8)
-            out.extend(self._search_chunk(seeds[:warm]))
+            self._run_chunk(seeds, order[:warm], results, None)
             start = warm
+        limit = self.defer_steps if self.defer_steps > 0 else None
+        deferred: list[int] = []
         for i in range(start, len(seeds), self.chunk):
-            out.extend(self._search_chunk(seeds[i : i + self.chunk]))
-        return out
+            deferred.extend(
+                self._run_chunk(seeds, order[i : i + self.chunk], results, limit)
+            )
+        self.last_stats["deferred"] = len(deferred)
+        for i in range(0, len(deferred), self.chunk):
+            self._run_chunk(seeds, deferred[i : i + self.chunk], results, None)
+        return [results[i] for i in range(len(seeds))]
+
+    def _run_chunk(self, all_seeds, idxs, results, limit):
+        """Search the seeds at `idxs`; record finished contigs in
+        `results`; return the indices still active at the step limit."""
+        contigs, still_active = self._search_chunk(
+            [all_seeds[i] for i in idxs], limit
+        )
+        deferred = []
+        for j, i in enumerate(idxs):
+            if limit is not None and still_active[j]:
+                deferred.append(i)
+            else:
+                results[i] = contigs[j]
+        return deferred
 
     def _build_starts(self, seeds: list[tuple[str, int]]):
         S = self.chunk
@@ -412,10 +441,13 @@ class BatchSearcher:
             si_r[idxs], sf_r[idxs] = ints, floats
         return si_f, sf_f, si_r, sf_r
 
-    def _search_chunk(self, seeds: list[tuple[str, int]]) -> list[str]:
+    def _search_chunk(self, seeds, step_limit=None):
         S = self.chunk
         B = self.config.expand_width
         si_f, sf_f, si_r, sf_r = self._build_starts(seeds)
+        limit_arr = (
+            None if step_limit is None else jnp.asarray(step_limit, jnp.int32)
+        )
 
         # one merged run: rows [0:S] forward, [S:2S] reverse
         tab = self._cache_tables() if self.cache_f else None
@@ -430,6 +462,7 @@ class BatchSearcher:
                 self.config,
                 self.fwd_hmm.model_length,
                 tab,
+                limit_arr,
             )
         else:
             # unequal model lengths: one homogeneous run per direction,
@@ -451,6 +484,7 @@ class BatchSearcher:
                         self.config,
                         hmm_.model_length,
                         tab,
+                        limit_arr,
                     )
                 )
             rf, rr = halves
@@ -488,7 +522,7 @@ class BatchSearcher:
             jnp.concatenate([res["meta"], dlens[:, None]], axis=1)
         )
         # pow2 bucket so the slice+stack jit compiles only a few shapes
-        lmax = min(Tc, _round_up_pow2(max(int(meta[:, 4].max()), 64)))
+        lmax = min(Tc, _round_up_pow2(max(int(meta[:, 5].max()), 64)))
 
         # ---- fetch 3: the chains, one stacked transfer
         if dreals.dtype == jnp.float32:
@@ -502,6 +536,8 @@ class BatchSearcher:
 
         ce = meta[:, 2]
         goal = meta[:, 0]
+        act = meta[:, 4] != 0
+        still_active = act[:S] | act[S:]
         ce_f, ce_r = ce[:S], ce[S:]
         goal_f, goal_r = goal[:S], goal[S:]
 
@@ -544,4 +580,4 @@ class BatchSearcher:
         self.last_stats["cache_hits"] = self.last_stats.get("cache_hits", 0) + int(
             (ce_f >= 0).sum() + (ce_r >= 0).sum()
         )
-        return contigs
+        return contigs, still_active[: len(seeds)]

@@ -409,6 +409,9 @@ def wavefront_search_merged(
     config: WavefrontConfig,
     model_length: int,
     cache_tab: jnp.ndarray | None = None,  # [2, HB, 16] bucketized cache
+    step_limit: jnp.ndarray | None = None,  # [] int32 dynamic cap (straggler
+    # deferral: the runner reruns still-active seeds later; arenas/compile
+    # stay sized by the static config.max_steps)
 ):
     """Run S lockstep searches. Returns dict of results + trace arenas.
 
@@ -719,7 +722,7 @@ def wavefront_search_merged(
         )
         return cand_fval, cand_node, c_ibx, c_lpx, cand_score, cand_real, cand_max, valid
 
-    def probe_cache(ids_a, ids_b):
+    def probe_cache(ids_a, ids_b, dirs_r):
         """4-slot bucket lookup of identities; -1 on miss.
 
         The cross-seed path cache is the deterministic counterpart of the
@@ -737,7 +740,7 @@ def wavefront_search_merged(
             jnp.uint32
         )
         idx = (h % jnp.uint32(HB)).astype(jnp.int32)
-        row = cache_tab.reshape(2 * HB, 16)[dirs * HB + idx]  # [S, 16]
+        row = cache_tab.reshape(2 * HB, 16)[dirs_r * HB + idx]
         val = jnp.full(ids_a.shape, -1, jnp.int32)
         for s in range(4):
             hit = (row[:, s] == ids_a) & (row[:, 4 + s] == ids_b)
@@ -864,12 +867,28 @@ def wavefront_search_merged(
         goal_idx = jnp.where(is_goal, slot_pos_c[:, 0], goal_idx)
         active = active & ~is_goal
 
-        # ---- path-cache short-circuit on the rank-1 frontier node
+        # ---- path-cache short-circuit: probe ALL B frontier ranks (the
+        # reference probes its term-node memo at EVERY pop,
+        # hmm_graph_search.h:279-286; ranks 0..B-1 are the next B pops in
+        # serial order, and the lowest-rank hit wins)
         if config.use_cache:
-            hit_val = probe_cache(ia_s[:, 0], ibx_s[:, 0] & IDENT_MASK)
-            hit = active & sel_valid[:, 0] & (hit_val >= 0)
+            hv = probe_cache(
+                ia_s.reshape(S * B),
+                ibx_s.reshape(S * B) & IDENT_MASK,
+                jnp.repeat(dirs, B, total_repeat_length=S * B),
+            ).reshape(S, B)
+            hv = jnp.where(sel_valid & (hv >= 0), hv, -1)
+            hit_b = jnp.argmax(hv >= 0, axis=1).astype(jnp.int32)
+            hit_val = jnp.take_along_axis(hv, hit_b[:, None], axis=1)[:, 0]
+            hit = active & (hit_val >= 0)
             cached_entry = jnp.where(hit, hit_val, cached_entry)
-            cached_at = jnp.where(hit, slot_pos_c[:, 0], cached_at)
+            cached_at = jnp.where(
+                hit,
+                jnp.take_along_axis(
+                    slot_pos_c, hit_b[:, None], axis=1
+                )[:, 0],
+                cached_at,
+            )
             active = active & ~hit
 
         expand_mask = sel_valid & ~is_goal[:, None] & active[:, None]
@@ -1015,7 +1034,7 @@ def wavefront_search_merged(
         step = carry[-1]
         return (
             jnp.any(active)
-            & (step < config.max_steps)
+            & (step < max_steps_d)
             & (next_free + CAND <= P)
         )
 
@@ -1026,7 +1045,7 @@ def wavefront_search_merged(
     def outer_cond(carry):
         active = carry[6]
         step = carry[-1]
-        return jnp.any(active) & (step < config.max_steps)
+        return jnp.any(active) & (step < max_steps_d)
 
     # handle immediate-goal seeds: record start as trace[0]
     trace3 = trace3.at[:, 0, 0].set(s_node)
@@ -1050,6 +1069,9 @@ def wavefront_search_merged(
 
     if cache_tab is None:
         cache_tab = jnp.full((2, 8, 16), -1, jnp.int32)
+    max_steps_d = jnp.asarray(config.max_steps, jnp.int32)
+    if step_limit is not None:
+        max_steps_d = jnp.minimum(max_steps_d, step_limit.astype(jnp.int32))
 
     carry = (
         fval, resti, poolf,
@@ -1082,7 +1104,13 @@ def wavefront_search_merged(
         # packed copies of the small outputs: on a tunneled TPU every
         # host fetch pays a ~30 ms round trip, so the runner reads ONE
         # [S, 4] row block + ONE scalar triple instead of seven arrays
-        "meta": jnp.stack([goal_idx, inter_idx, cached_entry, cached_at], 1),
+        "meta": jnp.stack(
+            [
+                goal_idx, inter_idx, cached_entry, cached_at,
+                active.astype(jnp.int32),
+            ],
+            1,
+        ),
         "scal": jnp.stack(
             [steps, expansions, overflow.sum(dtype=jnp.int32)]
         ),

@@ -135,3 +135,39 @@ def test_save_load_roundtrip(tmp_path, small_case):
     assert (g2.last == dbg.last).all()
     assert (g2.forward == dbg.forward).all()
     assert (g2.succ == dbg.succ).all()
+
+
+def test_streaming_build_matches_whole():
+    """RAM-bounded batched counting == whole-dataset build, bit-for-bit,
+    for both engines and with min_count filtering applied post-merge."""
+    import numpy as np
+
+    from megagta_tpu.graph.builder import (
+        build_sdbg,
+        edges_from_reads,
+        edges_from_reads_streaming,
+    )
+    from tests.synthetic import make_scenario
+
+    sc = make_scenario(seed=51, gene_aa_len=60, read_len=70, read_step=2)
+    reads = sc["reads"] + sc["reads"][::3]
+    pkg = make_package(reads)
+    k = 29
+    we, wm = edges_from_reads(pkg, k)
+    for engine in ("host", "device"):
+        se, sm = edges_from_reads_streaming(
+            pkg, k, batch_reads=17, engine=engine
+        )
+        np.testing.assert_array_equal(we, se)
+        np.testing.assert_array_equal(wm, sm)
+    # min_count applied after the merge (a k-mer split across batches must
+    # still count globally)
+    we2, wm2 = edges_from_reads(pkg, k, min_count=2)
+    se2, sm2 = edges_from_reads_streaming(pkg, k, 2, batch_reads=13)
+    np.testing.assert_array_equal(we2, se2)
+    np.testing.assert_array_equal(wm2, sm2)
+    # end-to-end graph equality through build_sdbg(batch_reads=...)
+    a = build_sdbg(pkg, k)
+    b = build_sdbg(pkg, k, batch_reads=23)
+    np.testing.assert_array_equal(a.w, b.w)
+    np.testing.assert_array_equal(a.mult, b.mult)

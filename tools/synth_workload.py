@@ -28,12 +28,13 @@ def make_workload(
     read_len: int = 100,
     gene_step: int = 2,
     bg_step: int = 4,
+    divergence: float = 0.03,
 ) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     peptide = random_peptide(rng, gene_aa_len)
     variants_aa = [peptide] + [
-        mutate_peptide(rng, peptide, 0.03) for _ in range(n_variants - 1)
+        mutate_peptide(rng, peptide, divergence) for _ in range(n_variants - 1)
     ]
     genes = [reverse_translate(rng, p) for p in variants_aa]
     background = dna_to_str(
@@ -64,6 +65,23 @@ def make_workload(
         "peptide": peptide,
         **paths,
     }
+
+
+def make_workload_production(out_dir: str) -> dict:
+    """~10x the baseline workload: 20 gene variants at 5% divergence over a
+    100 kb background — ~46k reads, ~250k graph rows, ~15k seeds. The scale
+    at which accelerator dispatch amortizes (BASELINE.md round-2 notes);
+    the reference C++ baseline is measured live on the same inputs."""
+    return make_workload(
+        out_dir,
+        seed=777,
+        gene_aa_len=300,
+        n_variants=20,
+        background_bp=100_000,
+        gene_step=1,
+        bg_step=4,
+        divergence=0.05,
+    )
 
 
 if __name__ == "__main__":

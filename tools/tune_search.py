@@ -32,7 +32,7 @@ def main():
     from megagta_tpu.utils.jaxconfig import setup_jax
 
     setup_jax()
-    meta, dbg, seeds, _ = bench.build_inputs()
+    meta, dbg, seeds = bench.build_inputs("small")
     fwd = parse_hmm(meta["forward_hmm"])
     rev = parse_hmm(meta["reverse_hmm"])
     bs = BatchSearcher(
