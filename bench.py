@@ -106,9 +106,10 @@ def measure_ours(meta, dbg, seeds, chunk=512):
             chunk=chunk,
         )
 
-    # warm-up / compile (both the full-chunk and warm-chunk shapes)
+    # warm-up / compile (full-chunk, warm-chunk, and defer-width shapes)
     bs = make_bs()
     bs.search(seeds[: chunk + 1])
+    bs.warmup(seeds)
     bs = make_bs()  # fresh cache for the timed run
     t0 = time.perf_counter()
     contigs = bs.search(seeds)

@@ -303,6 +303,10 @@ class BatchSearcher:
     # afterwards in dedicated full-depth chunks, so one deep search never
     # holds a whole chunk of finished seeds hostage. 0 disables.
     defer_steps: int = 256
+    # width of the full-depth straggler re-runs: the per-step cost of the
+    # lockstep kernel scales with the row count, and stragglers are few
+    # (~2% of seeds), so they run in narrow chunks instead of chunk-wide
+    defer_chunk: int = 64
 
     mesh: object = None  # jax.sharding.Mesh to shard the seed axis over
 
@@ -333,6 +337,8 @@ class BatchSearcher:
             n = self.mesh.devices.size
             if self.chunk % n:
                 self.chunk = ((self.chunk + n - 1) // n) * n
+            if self.defer_chunk % n:
+                self.defer_chunk = ((self.defer_chunk + n - 1) // n) * n
 
     def _place(self, arr):
         """Shard the seed axis over the mesh (EP axis, SURVEY.md 2.10)."""
@@ -377,6 +383,8 @@ class BatchSearcher:
         results: dict[int, str] = {}
         order = list(range(len(seeds)))
         start = 0
+        limit = self.defer_steps if self.defer_steps > 0 else None
+        deferred: list[int] = []
         if (
             self.cache_f is not None
             and not self.cache_f.entries
@@ -384,27 +392,44 @@ class BatchSearcher:
         ):
             # warm the path cache with a small first batch so the bulk of
             # the seeds short-circuit (the reference's term-node memo warms
-            # the same way as its first seeds complete); padded to the
-            # standard chunk shape so no extra compilation happens
+            # the same way as its first seeds complete). The warm batch
+            # runs UNCAPPED — completed goal paths are what seed the cache,
+            # and a capped warm run guts it (measured: deferral count rose
+            # 10x) — but at the NARROW defer width, where the uncapped
+            # depth costs ~3x less per step than chunk-wide padding
+            dw = min(self.defer_chunk, self.chunk)
             warm = max(1, self.chunk // 8)
-            self._run_chunk(seeds, order[:warm], results, None)
+            for i in range(0, warm, dw):
+                self._run_chunk(seeds, order[i : min(i + dw, warm)],
+                                results, None, width=dw)
             start = warm
-        limit = self.defer_steps if self.defer_steps > 0 else None
-        deferred: list[int] = []
         for i in range(start, len(seeds), self.chunk):
             deferred.extend(
                 self._run_chunk(seeds, order[i : i + self.chunk], results, limit)
             )
         self.last_stats["deferred"] = len(deferred)
-        for i in range(0, len(deferred), self.chunk):
-            self._run_chunk(seeds, deferred[i : i + self.chunk], results, None)
+        # full-depth straggler re-runs, at the narrow defer width
+        dw = min(self.defer_chunk, self.chunk)
+        for i in range(0, len(deferred), dw):
+            self._run_chunk(seeds, deferred[i : i + dw], results, None, width=dw)
         return [results[i] for i in range(len(seeds))]
 
-    def _run_chunk(self, all_seeds, idxs, results, limit):
+    def warmup(self, seeds: list[tuple[str, int]]):
+        """Compile both the regular- and defer-width kernels (one tiny
+        search each) so a timed run pays zero compilation."""
+        scratch: dict[int, str] = {}
+        take = seeds[: min(len(seeds), 4)]
+        idxs = list(range(len(take)))
+        self._run_chunk(take, idxs, scratch, self.defer_steps or None)
+        dw = min(self.defer_chunk, self.chunk)
+        self._run_chunk(take, idxs, scratch, None, width=dw)
+        self.last_stats = {}
+
+    def _run_chunk(self, all_seeds, idxs, results, limit, width=None):
         """Search the seeds at `idxs`; record finished contigs in
         `results`; return the indices still active at the step limit."""
         contigs, still_active = self._search_chunk(
-            [all_seeds[i] for i in idxs], limit
+            [all_seeds[i] for i in idxs], limit, width
         )
         deferred = []
         for j, i in enumerate(idxs):
@@ -414,8 +439,7 @@ class BatchSearcher:
                 results[i] = contigs[j]
         return deferred
 
-    def _build_starts(self, seeds: list[tuple[str, int]]):
-        S = self.chunk
+    def _build_starts(self, seeds: list[tuple[str, int]], S: int):
         si_f = np.zeros((S, 8), np.int32)
         sf_f = np.zeros((S, 3), np.float64)
         si_r = np.zeros((S, 8), np.int32)
@@ -441,10 +465,10 @@ class BatchSearcher:
             si_r[idxs], sf_r[idxs] = ints, floats
         return si_f, sf_f, si_r, sf_r
 
-    def _search_chunk(self, seeds, step_limit=None):
-        S = self.chunk
+    def _search_chunk(self, seeds, step_limit=None, width=None):
+        S = width or self.chunk
         B = self.config.expand_width
-        si_f, sf_f, si_r, sf_r = self._build_starts(seeds)
+        si_f, sf_f, si_r, sf_r = self._build_starts(seeds, S)
         limit_arr = (
             None if step_limit is None else jnp.asarray(step_limit, jnp.int32)
         )

@@ -911,7 +911,7 @@ def wavefront_search_merged(
 
         use_k2 = (
             config.use_pallas_expand and graph.pt is not None
-            and CAND == CAND0 and (S * B) % 8 == 0
+            and (S * B) % 8 == 0
         )
         if use_k2:
             # ---- fused expansion kernel
@@ -934,23 +934,7 @@ def wavefront_search_merged(
                 interpret=jax.default_backend() != "tpu",
             )
             expansions = expansions + counts.sum(dtype=jnp.int32)
-            c_fval = c_fval.reshape(S, CAND0)
-            c_resti = jnp.stack(
-                [
-                    c_ia.reshape(S, CAND0),
-                    c_ibx.reshape(S, CAND0),
-                    c_lpx.reshape(S, CAND0),
-                ],
-                axis=1,
-            )
-            c_poolf = jnp.stack(
-                [
-                    c_sc.reshape(S, CAND0),
-                    c_re.reshape(S, CAND0),
-                    c_mx.reshape(S, CAND0),
-                ],
-                axis=1,
-            )
+            cvalid = c_fval > INT_MIN32  # kernel stores dead slots INT_MIN
         else:
             # ---- expand
             ndir = jnp.repeat(dirs, B, total_repeat_length=S * B)
@@ -968,39 +952,42 @@ def wavefront_search_merged(
                 step == 0,
             )
             cvalid = cvalid & expand_mask.reshape(S * B)[:, None]
-            c_fval = c_fval.reshape(S, CAND0)
-            c_ia = c_ia.reshape(S, CAND0)
-            c_ibx = c_ibx.reshape(S, CAND0)
-            c_lpx = c_lpx.reshape(S, CAND0)
-            c_sc = c_sc.reshape(S, CAND0)
-            c_re = c_re.reshape(S, CAND0)
-            c_mx = c_mx.reshape(S, CAND0)
-            cvalid = cvalid.reshape(S, CAND0)
             expansions = expansions + cvalid.sum(dtype=jnp.int32)
 
-            # ---- candidate compression (turbo): keep top-CAND by fval so
-            # the pool grows ~CAND0/CAND x slower between compact sorts
-            if CAND < CAND0:
-                vc = cvalid.sum(axis=1, dtype=jnp.int32)
-                ckey = jnp.where(cvalid, c_fval, INT_MIN32).astype(jnp.float32)
-                _, keepi = jax.lax.approx_max_k(ckey, CAND, recall_target=0.99)
-                take = lambda a: jnp.take_along_axis(a, keepi, axis=1)  # noqa: E731
-                cvalid = take(cvalid) & (take(ckey) > INT_MIN32)
-                # drop detection (covers both count overflow and
-                # approximation misses): fewer valid survivors than
-                # min(valid, CAND) means a valid candidate was dropped
-                kv = cvalid.sum(axis=1, dtype=jnp.int32)
-                overflow = overflow | (kv < jnp.minimum(vc, CAND))
-                c_fval, c_ia, c_ibx, c_lpx = (
-                    take(c_fval), take(c_ia), take(c_ibx), take(c_lpx)
-                )
-                c_sc, c_re, c_mx = take(c_sc), take(c_re), take(c_mx)
+        c_fval = c_fval.reshape(S, CAND0)
+        c_ia = c_ia.reshape(S, CAND0)
+        c_ibx = c_ibx.reshape(S, CAND0)
+        c_lpx = c_lpx.reshape(S, CAND0)
+        c_sc = c_sc.reshape(S, CAND0)
+        c_re = c_re.reshape(S, CAND0)
+        c_mx = c_mx.reshape(S, CAND0)
+        cvalid = cvalid.reshape(S, CAND0)
 
-            c_fval = jnp.where(
-                cvalid, jnp.maximum(c_fval, INT_MIN32 + 2), INT_MIN32
+        # ---- candidate compression (turbo): keep top-CAND by fval. Most
+        # of the CAND0 slots are dead (dBG out-degree ~1 -> ~5 valid per
+        # expansion), so this makes the pool fill ~CAND0/CAND x slower and
+        # the expensive compact sort run that much less often
+        if CAND < CAND0:
+            vc = cvalid.sum(axis=1, dtype=jnp.int32)
+            ckey = jnp.where(cvalid, c_fval, INT_MIN32).astype(jnp.float32)
+            _, keepi = jax.lax.approx_max_k(ckey, CAND, recall_target=0.99)
+            take = lambda a: jnp.take_along_axis(a, keepi, axis=1)  # noqa: E731
+            cvalid = take(cvalid) & (take(ckey) > INT_MIN32)
+            # drop detection (covers both count overflow and
+            # approximation misses): fewer valid survivors than
+            # min(valid, CAND) means a valid candidate was dropped
+            kv = cvalid.sum(axis=1, dtype=jnp.int32)
+            overflow = overflow | (kv < jnp.minimum(vc, CAND))
+            c_fval, c_ia, c_ibx, c_lpx = (
+                take(c_fval), take(c_ia), take(c_ibx), take(c_lpx)
             )
-            c_resti = jnp.stack([c_ia, c_ibx, c_lpx], axis=1)
-            c_poolf = jnp.stack([c_sc, c_re, c_mx], axis=1)
+            c_sc, c_re, c_mx = take(c_sc), take(c_re), take(c_mx)
+
+        c_fval = jnp.where(
+            cvalid, jnp.maximum(c_fval, INT_MIN32 + 2), INT_MIN32
+        )
+        c_resti = jnp.stack([c_ia, c_ibx, c_lpx], axis=1)
+        c_poolf = jnp.stack([c_sc, c_re, c_mx], axis=1)
 
         # ---- trace append at the step's fixed block (scatter-free)
         trace3 = jax.lax.dynamic_update_slice(trace3, tr_i, (zero, zero, tpos))

@@ -1,0 +1,73 @@
+"""Per-chunk step/wall breakdown of the prod search (straggler analysis)."""
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path[:0] = [REPO, os.path.join(REPO, "tools")]
+
+from megagta_tpu.utils.jaxconfig import setup_jax
+
+setup_jax()
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, REPO)
+import bench
+
+meta, dbg, seeds = bench.build_inputs("prod")
+
+from megagta_tpu.hmm.heuristic import heuristic_table
+from megagta_tpu.hmm.parser import parse_hmm
+from megagta_tpu.search.runner import BatchSearcher
+from megagta_tpu.search.wavefront import WavefrontConfig
+
+fwd = parse_hmm(meta["forward_hmm"])
+rev = parse_hmm(meta["reverse_hmm"])
+on_tpu = jax.default_backend() == "tpu"
+
+
+def make_bs(chunk=512):
+    return BatchSearcher(
+        dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
+        WavefrontConfig(
+            pool_size=1 << 12, max_steps=1 << 11, expand_width=8,
+            use_cache=True, use_pallas=on_tpu, use_pallas_expand=on_tpu,
+        ),
+        dtype=jnp.float32, chunk=chunk,
+    )
+
+
+bs = make_bs()
+bs.search(seeds[: bs.chunk + 1])  # warm-up/compile
+bs = make_bs()
+
+orig = bs._search_chunk
+log = []
+
+
+def timed(seed_chunk, step_limit=None, width=None):
+    s0 = dict(bs.last_stats)
+    t0 = time.perf_counter()
+    out = orig(seed_chunk, step_limit, width)
+    dt = time.perf_counter() - t0
+    log.append({
+        "n": len(seed_chunk),
+        "limit": step_limit,
+        "steps": bs.last_stats["steps"] - s0.get("steps", 0),
+        "exp": bs.last_stats["expansions"] - s0.get("expansions", 0),
+        "wall": round(dt, 3),
+        "active_left": int(out[1].sum()),
+    })
+    return out
+
+
+bs._search_chunk = timed
+t0 = time.perf_counter()
+bs.search(seeds)
+wall = time.perf_counter() - t0
+for e in log:
+    print(json.dumps(e))
+print(json.dumps({"total_wall": wall, **bs.last_stats}))
