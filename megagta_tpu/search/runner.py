@@ -181,9 +181,9 @@ class _PathCache:
     real_score downstream). Suffixes are stored as (shared bytes, start,
     end) slices of the goal row's emission string — no per-entry string
     materialization. The bucketized table probed by the wavefront kernel
-    lives on device as [2, HB, 16] rows (4 slots: cols 0-3 key a, 4-7 key
-    b, 8-11 entry index — one 64 B row gather per probe); `pending`
-    accumulates (bucket, slot, a, b, val) scatter updates."""
+    lives on device as [2*HB, 16] rows, direction-major (4 slots: cols 0-3
+    key a, 4-7 key b, 8-11 entry index — one 64 B row gather per probe);
+    `pending` accumulates (bucket, slot, a, b, val) scatter updates."""
 
     def __init__(self, size_log2: int = 19):
         self.HB = 1 << size_log2  # buckets of 4 slots
@@ -259,10 +259,13 @@ class _PathCache:
 def _cache_scatter(tab, d, buckets, slots, na, nb, nv):
     """Scatter new cache entries into the persistent device bucket table.
 
-    tab: [2, HB, 16]. Out-of-range buckets (the padding) are dropped."""
-    tab = tab.at[d, buckets, slots].set(na, mode="drop")
-    tab = tab.at[d, buckets, slots + 4].set(nb, mode="drop")
-    tab = tab.at[d, buckets, slots + 8].set(nv, mode="drop")
+    tab: [2*HB, 16] direction-major. Out-of-range buckets (the padding)
+    are dropped."""
+    HB = tab.shape[0] // 2
+    rows = jnp.where(buckets < HB, d * HB + buckets, 2 * HB)
+    tab = tab.at[rows, slots].set(na, mode="drop")
+    tab = tab.at[rows, slots + 4].set(nb, mode="drop")
+    tab = tab.at[rows, slots + 8].set(nv, mode="drop")
     return tab
 
 
@@ -353,7 +356,7 @@ class BatchSearcher:
         """Persistent device table, updated by scattering pending entries."""
         HB = self.cache_f.HB
         if self._dev_cache is None:
-            self._dev_cache = jnp.full((2, HB, 16), -1, jnp.int32)
+            self._dev_cache = jnp.full((2 * HB, 16), -1, jnp.int32)
         for d, cache in ((0, self.cache_f), (1, self.cache_r)):
             if not cache.pending:
                 continue

@@ -408,7 +408,7 @@ def wavefront_search_merged(
     start_floats: jnp.ndarray,  # [S, 3] dtype
     config: WavefrontConfig,
     model_length: int,
-    cache_tab: jnp.ndarray | None = None,  # [2, HB, 16] bucketized cache
+    cache_tab: jnp.ndarray | None = None,  # [2*HB, 16] bucketized cache
     step_limit: jnp.ndarray | None = None,  # [] int32 dynamic cap (straggler
     # deferral: the runner reruns still-active seeds later; arenas/compile
     # stay sized by the static config.max_steps)
@@ -455,14 +455,22 @@ def wavefront_search_merged(
     c3 = jnp.arange(64, dtype=jnp.int32) % 4
     ne64 = (c1 << 6) | (c2 << 3) | c3
 
-    # ---- pool state: fval plane (INT_MIN = dead/empty) + grouped planes
-    # resti [S, 3, P] = (ia node, ibx packed, lpx packed) and poolf
-    # [S, 3, P] = (score, real, max) — grouped so a step appends with three
-    # dynamic_update_slices and the selected-field extraction reads whole
-    # rows, while scans still touch only the planes they need
+    # ---- pool state: seven SEPARATE [S, P] planes — fval (INT_MIN =
+    # dead/empty slot), ia (node id), ibx (packed state|state_no|neg|codon),
+    # lpx (packed parent+1|length), and three score planes. v2 grouped
+    # ia/ibx/lpx and the scores into [S, 3, P] blocks; XLA tiled those
+    # T(4,128) while the select kernel wanted T(8,128) flat rows, so every
+    # step paid two 50 MB relayout reshapes plus copying appends (profiled
+    # at ~0.6 ms/step of the ~1.8 ms total). Separate planes reshape into
+    # the kernel's row tiles for free and every append is a small in-place
+    # dynamic_update_slice.
     fval = jnp.full((S, P), INT_MIN32, jnp.int32)
-    resti = jnp.zeros((S, 3, P), jnp.int32)
-    poolf = jnp.zeros((S, 3, P), dt)
+    pia = jnp.zeros((S, P), jnp.int32)
+    pibx = jnp.zeros((S, P), jnp.int32)
+    plpx = jnp.zeros((S, P), jnp.int32)
+    psc = jnp.zeros((S, P), dt)
+    pre = jnp.zeros((S, P), dt)
+    pmx = jnp.zeros((S, P), dt)
 
     def pack_ibx(state, state_no, neg, ne):
         return (
@@ -486,12 +494,12 @@ def wavefront_search_merged(
         jnp.where(has_start, jnp.maximum(start_ints[:, NI_FVAL], INT_MIN32 + 2),
                   INT_MIN32)
     )
-    resti = resti.at[:, 0, 0].set(s_node)
-    resti = resti.at[:, 1, 0].set(s_ibx)
-    resti = resti.at[:, 2, 0].set(s_lpx)
-    poolf = poolf.at[:, 0, 0].set(start_floats[:, NF_SCORE])
-    poolf = poolf.at[:, 1, 0].set(start_floats[:, NF_REAL])
-    poolf = poolf.at[:, 2, 0].set(start_floats[:, NF_MAX])
+    pia = pia.at[:, 0].set(s_node)
+    pibx = pibx.at[:, 0].set(s_ibx)
+    plpx = plpx.at[:, 0].set(s_lpx)
+    psc = psc.at[:, 0].set(start_floats[:, NF_SCORE])
+    pre = pre.at[:, 0].set(start_floats[:, NF_REAL])
+    pmx = pmx.at[:, 0].set(start_floats[:, NF_MAX])
     next_free = jnp.ones((), jnp.int32)  # shared by all seeds (see above)
 
     # ---- trace arenas (one record per selected node per step):
@@ -733,14 +741,16 @@ def wavefront_search_merged(
         (cols 0-3 key a, 4-7 key b, 8-11 host entry index) so the probe is
         ONE row gather instead of twelve elementwise ones.
         """
-        HB = cache_tab.shape[1]
+        # the table arrives pre-flattened [2*HB, 16]: an in-loop reshape
+        # once cost a 64 MB relayout copy PER STEP (~0.1 ms/step profiled)
+        HB = cache_tab.shape[0] // 2
         ua = ids_a.astype(jnp.uint32)
         ub = ids_b.astype(jnp.uint32)
         h = (ua * jnp.uint32(2654435761) ^ (ub * jnp.uint32(40503))).astype(
             jnp.uint32
         )
         idx = (h % jnp.uint32(HB)).astype(jnp.int32)
-        row = cache_tab.reshape(2 * HB, 16)[dirs_r * HB + idx]
+        row = cache_tab[dirs_r * HB + idx]
         val = jnp.full(ids_a.shape, -1, jnp.int32)
         for s in range(4):
             hit = (row[:, s] == ids_a) & (row[:, 4 + s] == ids_b)
@@ -756,23 +766,16 @@ def wavefront_search_merged(
         headroom are evicted worst-first (rare; flagged per seed via
         `overflow`)."""
         (
-            fval, resti, poolf,
+            fval, pia, pibx, plpx, psc, pre, pmx,
             trace3, treal, trace_len,
             active, done_partial, goal_idx, inter_idx, inter_val, overflow,
             expansions, cached_entry, cached_at, next_free, step,
         ) = carry
         key = jnp.where(fval > INT_MIN32, -fval, INT_MAX32)
-        s = jax.lax.sort(
-            (
-                key,
-                resti[:, 0], resti[:, 1], resti[:, 2],
-                poolf[:, 0], poolf[:, 1], poolf[:, 2],
-            ),
+        key, pia, pibx, plpx, psc, pre, pmx = jax.lax.sort(
+            (key, pia, pibx, plpx, psc, pre, pmx),
             dimension=1, num_keys=1, is_stable=True,
         )
-        key = s[0]
-        resti = jnp.stack(s[1:4], axis=1)
-        poolf = jnp.stack(s[4:7], axis=1)
         alive_s = key != INT_MAX32
         counts = alive_s.sum(axis=-1).astype(jnp.int32)
         overflow = overflow | (counts > P - CAND)
@@ -780,7 +783,7 @@ def wavefront_search_merged(
         fval = jnp.where(alive_s & keep, -key, INT_MIN32)
         next_free = jnp.minimum(jnp.max(counts), P - CAND)
         return (
-            fval, resti, poolf,
+            fval, pia, pibx, plpx, psc, pre, pmx,
             trace3, treal, trace_len,
             active, done_partial, goal_idx, inter_idx, inter_val, overflow,
             expansions, cached_entry, cached_at, next_free, step,
@@ -788,27 +791,33 @@ def wavefront_search_merged(
 
     def body(carry):
         (
-            fval, resti, poolf,
+            fval, pia, pibx, plpx, psc, pre, pmx,
             trace3, treal, trace_len,
             active, done_partial, goal_idx, inter_idx, inter_val, overflow,
             expansions, cached_entry, cached_at, next_free, step,
         ) = carry
-        ia, ibx, lpx = resti[:, 0], resti[:, 1], resti[:, 2]
-        fsc, fre, fmx = poolf[:, 0], poolf[:, 1], poolf[:, 2]
+        ia, ibx, lpx = pia, pibx, plpx
+        fsc, fre, fmx = psc, pre, pmx
 
         if config.use_pallas:
             from ..ops.pallas.step_select import step_select_kill
 
             (
-                fval, _sel, sel_valid, any_alive, is_goal,
-                ia_s, ibx_s, lpx_s, sc_s, re_s, mx_s,
+                fval, sel, sel_valid, any_alive, is_goal, ia_s, ibx_s,
             ) = step_select_kill(
-                fval, resti, poolf, active,
+                fval, pia, pibx, active,
                 B, L, interpret=jax.default_backend() != "tpu",
             )
             newly_exhausted = active & ~any_alive
             done_partial = done_partial | newly_exhausted
             active = active & any_alive
+            # the four remaining fields of the B selected entries: [S, B]
+            # gathers, ~6x cheaper than streaming those planes in-kernel
+            taa = lambda a: jnp.take_along_axis(a, sel, axis=1)  # noqa: E731
+            lpx_s = taa(plpx)
+            sc_s = taa(psc)
+            re_s = taa(pre)
+            mx_s = taa(pmx)
         else:
             sel1, any_alive = select_lex(fval, ibx, active)
             newly_exhausted = active & ~any_alive
@@ -986,8 +995,6 @@ def wavefront_search_merged(
         c_fval = jnp.where(
             cvalid, jnp.maximum(c_fval, INT_MIN32 + 2), INT_MIN32
         )
-        c_resti = jnp.stack([c_ia, c_ibx, c_lpx], axis=1)
-        c_poolf = jnp.stack([c_sc, c_re, c_mx], axis=1)
 
         # ---- trace append at the step's fixed block (scatter-free)
         trace3 = jax.lax.dynamic_update_slice(trace3, tr_i, (zero, zero, tpos))
@@ -999,24 +1006,26 @@ def wavefront_search_merged(
         inter_idx = jnp.where(better, best_pos, inter_idx)
 
         # ---- append the whole candidate block at one shared offset
-        fval = jax.lax.dynamic_update_slice(fval, c_fval, (zero, next_free))
-        resti = jax.lax.dynamic_update_slice(
-            resti, c_resti, (zero, zero, next_free)
-        )
-        poolf = jax.lax.dynamic_update_slice(
-            poolf, c_poolf, (zero, zero, next_free)
-        )
+        # (per-plane in-place dynamic_update_slice writes, no scatters)
+        dus = jax.lax.dynamic_update_slice
+        fval = dus(fval, c_fval, (zero, next_free))
+        pia = dus(pia, c_ia, (zero, next_free))
+        pibx = dus(pibx, c_ibx, (zero, next_free))
+        plpx = dus(plpx, c_lpx, (zero, next_free))
+        psc = dus(psc, c_sc, (zero, next_free))
+        pre = dus(pre, c_re, (zero, next_free))
+        pmx = dus(pmx, c_mx, (zero, next_free))
         next_free = next_free + CAND
 
         return (
-            fval, resti, poolf,
+            fval, pia, pibx, plpx, psc, pre, pmx,
             trace3, treal, trace_len,
             active, done_partial, goal_idx, inter_idx, inter_val, overflow,
             expansions, cached_entry, cached_at, next_free, step + 1,
         )
 
     def inner_cond(carry):
-        active = carry[6]
+        active = carry[10]
         next_free = carry[-2]
         step = carry[-1]
         return (
@@ -1030,7 +1039,7 @@ def wavefront_search_merged(
         return compact(carry)
 
     def outer_cond(carry):
-        active = carry[6]
+        active = carry[10]
         step = carry[-1]
         return jnp.any(active) & (step < max_steps_d)
 
@@ -1055,13 +1064,13 @@ def wavefront_search_merged(
     )
 
     if cache_tab is None:
-        cache_tab = jnp.full((2, 8, 16), -1, jnp.int32)
+        cache_tab = jnp.full((2 * 8, 16), -1, jnp.int32)
     max_steps_d = jnp.asarray(config.max_steps, jnp.int32)
     if step_limit is not None:
         max_steps_d = jnp.minimum(max_steps_d, step_limit.astype(jnp.int32))
 
     carry = (
-        fval, resti, poolf,
+        fval, pia, pibx, plpx, psc, pre, pmx,
         trace3, treal, trace_len,
         active, done_partial, goal_idx, inter_idx, inter_val, overflow,
         expansions, cached_entry, cached_at, next_free,
@@ -1069,7 +1078,7 @@ def wavefront_search_merged(
     )
     carry = jax.lax.while_loop(outer_cond, outer_body, carry)
     (
-        fval, resti, poolf,
+        fval, pia, pibx, plpx, psc, pre, pmx,
         trace3, treal, trace_len,
         active, done_partial, goal_idx, inter_idx, inter_val, overflow,
         expansions, cached_entry, cached_at, next_free, steps,

@@ -54,15 +54,11 @@ def test_step_select_kill_matches_lex_reference():
     fval[1, 1::2] = 9
 
     ia = rng.integers(0, 50_000, (S, P)).astype(np.int32)
-    lpx = rng.integers(0, 2**20, (S, P)).astype(np.int32)
-    resti = np.stack([ia, ibx, lpx], axis=1)
-    poolf = rng.random((S, 3, P)).astype(np.float32)
 
     (
-        fval2, sel, selv, any_alive, is_goal,
-        ia_s, ibx_s, lpx_s, sc_s, re_s, mx_s,
+        fval2, sel, selv, any_alive, is_goal, ia_s, ibx_s,
     ) = step_select_kill(
-        jnp.asarray(fval), jnp.asarray(resti), jnp.asarray(poolf),
+        jnp.asarray(fval), jnp.asarray(ia), jnp.asarray(ibx),
         jnp.asarray(active), B, L, interpret=True,
     )
     ref_idx, ref_any = _ref_lex(fval, ibx, active)
@@ -108,8 +104,6 @@ def test_step_select_kill_matches_lex_reference():
             p = int(sel[s, b])
             assert int(np.asarray(ia_s)[s, b]) == ia[s, p]
             assert int(np.asarray(ibx_s)[s, b]) == ibx[s, p]
-            assert int(np.asarray(lpx_s)[s, b]) == lpx[s, p]
-            assert np.asarray(sc_s)[s, b] == poolf[s, 0, p]
             hit = (ia[s] == ia[s, p]) & (
                 (ibx[s] & IDENT_MASK) == (ibx[s, p] & IDENT_MASK)
             )
