@@ -76,6 +76,48 @@ def build_inputs(profile: str):
     return meta, dbg, seeds
 
 
+def ref_artifacts(profile: str, meta):
+    """Reference per-seed golden outputs, if the reference pipeline already
+    ran on this workload: (seed list in the reference's order, contig per
+    seed index). Contig headers are `{gene}_contig_{2i}_contig_{2i+1}`
+    (search.cpp:80, one line per starting kmer i)."""
+    import re
+
+    from megagta_tpu.io.fastx import read_fastx
+
+    sub = os.path.join(CACHE, profile) if profile != "small" else CACHE
+    k = K - 1
+    gene = meta["gene_name"]
+    seeds_p = os.path.join(sub, "ref", f"{k}_{gene}_starting_kmers.txt")
+    contigs_p = os.path.join(sub, "ref", f"{k}_raw_contigs_{gene}.fasta")
+    if not (os.path.exists(seeds_p) and os.path.exists(contigs_p)):
+        return None
+    seeds = []
+    with open(seeds_p) as f:
+        for line in f:
+            t = line.split()
+            if len(t) >= 8:
+                seeds.append((t[3].lower(), int(t[7]) - 1))
+    contigs = [None] * len(seeds)
+    for r in read_fastx(contigs_p):
+        m = re.search(r"_contig_(\d+)_contig_\d+$", r.name)
+        if m:
+            contigs[int(m.group(1)) // 2] = r.seq.upper()
+    return seeds, contigs
+
+
+def gate_contigs(ours: list, ref_contigs: list) -> dict:
+    """Per-seed equality vs the reference run (VERDICT r3 ask #2): every
+    contig must match the reference's for the same starting kmer."""
+    mism = [
+        i
+        for i, (a, b) in enumerate(zip(ours, ref_contigs))
+        if b is not None and a.upper() != b
+    ]
+    return {"contig_equal": not mism, "contig_mismatches": len(mism),
+            "mismatch_idx": mism[:20]}
+
+
 def measure_ours(meta, dbg, seeds, chunk=512):
     import jax
     import jax.numpy as jnp
@@ -106,11 +148,10 @@ def measure_ours(meta, dbg, seeds, chunk=512):
             chunk=chunk,
         )
 
-    # warm-up / compile (full-chunk, warm-chunk, and defer-width shapes)
+    # warm-up / compile (all three ladder shapes; warmup restores cache
+    # state so the timed run below starts cold)
     bs = make_bs()
-    bs.search(seeds[: chunk + 1])
     bs.warmup(seeds)
-    bs = make_bs()  # fresh cache for the timed run
     t0 = time.perf_counter()
     contigs = bs.search(seeds)
     wall = time.perf_counter() - t0
@@ -127,6 +168,7 @@ def measure_ours(meta, dbg, seeds, chunk=512):
         "overflow": bs.last_stats["overflow"],
         "cache_hits": bs.last_stats.get("cache_hits", 0),
         "device": str(jax.devices()[0]),
+        "_contigs": contigs,
     }
 
 
@@ -168,6 +210,11 @@ def main():
     detail = {}
 
     meta, dbg, seeds = build_inputs("prod")
+    ra = ref_artifacts("prod", meta)
+    if ra is not None:
+        ref_seeds, ref_contigs = ra
+        assert set(seeds) == set(ref_seeds), "seed finder diverged from ref"
+        seeds = ref_seeds  # the reference's order, for per-seed comparison
     ours = measure_ours(meta, dbg, seeds)
     ref = measure_reference(meta, "prod")
     vs = (
@@ -176,9 +223,22 @@ def main():
         else 0.0
     )
     detail["prod"] = {**ours, **(ref or {}), "graph_rows": dbg.size}
+    our_contigs = ours.pop("_contigs")
+    detail["prod"].pop("_contigs", None)
+    if ra is not None:
+        gate = gate_contigs(our_contigs, ref_contigs)
+        detail["prod"].update(gate)
+        if not gate["contig_equal"]:
+            print(
+                f"# CONTIG GATE FAILED: {gate['contig_mismatches']} of "
+                f"{len(ref_contigs)} prod contigs differ from the reference "
+                f"(first idx: {gate['mismatch_idx']})",
+                file=sys.stderr,
+            )
 
     meta_s, dbg_s, seeds_s = build_inputs("small")
     ours_s = measure_ours(meta_s, dbg_s, seeds_s)
+    ours_s.pop("_contigs", None)
     ref_s = measure_reference(meta_s, "small")
     detail["small"] = {**ours_s, **(ref_s or {}), "graph_rows": dbg_s.size}
     if ref_s and ref_s.get("ref_search_wall_s"):

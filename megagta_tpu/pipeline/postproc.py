@@ -41,31 +41,119 @@ from ..io.fastx import read_fastx, write_fasta
 __all__ = ["post_process_gene", "identity", "cluster_sequences"]
 
 
-def identity(a: str, b: str) -> float:
-    """Alignment identity in [0, 1]: longest-common-subsequence matches
-    over the shorter sequence's length.
+_INF = 99999999
 
-    Row-vectorized LCS: per row, the diagonal candidate is prev[j-1] +
-    match, the up move is prev[j], and the left move (which never adds
-    score) collapses into one running max — so each row is three numpy
-    passes over the other sequence. Plays the role of the reference
-    toolchain's aligned-column identity (RDPTools dmatrix) and echoes the
-    reference's own banded contig-similarity idea
-    (src/unitig_graph.cpp:152-202)."""
+
+def identity(a: str, b: str, min_similar: float = 0.5) -> float:
+    """Banded edit-distance identity in [0, 1] with the reference's own
+    GetSimilarity semantics (src/unitig_graph.cpp:152-202): band =
+    max(n, m) * (1 - min_similar); 0.0 when the band cannot contain an
+    alignment; otherwise 1 - edits / max(n, m)."""
     if not a or not b:
         return 0.0
     if a == b:
         return 1.0
-    if len(a) > len(b):
-        a, b = b, a
-    av = np.frombuffer(a.encode(), np.uint8)
-    bv = np.frombuffer(b.encode(), np.uint8)
-    n, m = len(av), len(bv)
-    prev = np.zeros(m + 1, np.int32)
-    for i in range(n):
-        cand = np.maximum(prev[1:], prev[:-1] + (av[i] == bv))
-        prev = np.maximum.accumulate(np.concatenate(([prev[0]], cand)))
-    return float(prev[-1]) / n
+    enc = [
+        np.frombuffer(a.upper().encode(), np.uint8),
+        np.frombuffer(b.upper().encode(), np.uint8),
+    ]
+    d = banded_identity_batch(
+        enc, np.array([[0, 1]]), min_similar
+    )
+    return float(d[0])
+
+
+def banded_identity_batch(
+    enc: list, pairs: np.ndarray, min_similar: float,
+    threshold_only: bool = False,
+) -> np.ndarray:
+    """GetSimilarity for many pairs at once, vectorized ACROSS pairs.
+
+    enc: list of uint8-encoded sequences; pairs: [P, 2] index pairs.
+    Returns [P] identities. The banded Levenshtein rows run as [P, W]
+    numpy ops (W = 2*Kmax+1); the within-row left-move dependency
+    dp[j] <= dp[j-1]+1 closes via a prefix-min of (dp[d] - d) + d, so a
+    row is O(1) numpy passes instead of a Python scan per cell."""
+    P = len(pairs)
+    if P == 0:
+        return np.zeros(0, np.float64)
+    lens = np.array([len(s) for s in enc], np.int64)
+    na = lens[pairs[:, 0]]
+    nb = lens[pairs[:, 1]]
+    mx = np.maximum(na, nb)
+    K = (mx * (1.0 - min_similar)).astype(np.int64)  # (int) truncation
+    feasible = (np.abs(na - nb) <= K) & (K >= 1)
+    out = np.zeros(P, np.float64)
+    if not feasible.any():
+        return out
+    sel = np.flatnonzero(feasible)
+    na, nb, K = na[sel], nb[sel], K[sel]
+    Pn = len(sel)
+    Kmax = int(K.max())
+    W = 2 * Kmax + 1
+    n_max = int(na.max())
+
+    # pad the a/b sides into dense int32 blocks
+    amat = np.zeros((Pn, n_max), np.int32)
+    bmat = np.zeros((Pn, int(nb.max())), np.int32)
+    for r, p in enumerate(sel):
+        amat[r, : na[r]] = enc[pairs[p, 0]]
+        bmat[r, : nb[r]] = enc[pairs[p, 1]]
+
+    dcol = np.arange(W, dtype=np.int32)[None, :]  # band column index
+    off = dcol - Kmax  # j - i
+    in_band = np.abs(off) <= K[:, None]  # per-pair band mask
+
+    # row 0: dp[IDX(j, 0)] = j for 0 <= j <= K
+    dp = np.where(in_band & (off >= 0), off, _INF).astype(np.int32)
+    final_d = ((nb - na) + Kmax).astype(np.int64)
+    outs = sel.copy()  # output slot of each still-active pair
+    mxs = mx[sel]
+
+    i = 1
+    while dp.shape[0] and i <= n_max:
+        Pa = dp.shape[0]
+        j = off + i  # [Pa, W] the j coordinate of each band cell
+        valid = in_band & (j >= 1) & (j <= nb[:, None])
+        bj = bmat[np.arange(Pa)[:, None], np.clip(j - 1, 0, bmat.shape[1] - 1)]
+        subc = (amat[:, i - 1][:, None] != bj).astype(np.int32)
+        diag = dp + subc  # dp[(i-1)][IDX(j-1, i-1)] is the SAME band column
+        up = np.concatenate(
+            [dp[:, 1:], np.full((Pa, 1), _INF, np.int32)], axis=1
+        ) + 1  # dp[(i-1)][IDX(j, i-1)] = previous row, column d+1
+        base = np.minimum(diag, up)
+        # j == 0 boundary: dp[IDX(0, i)] = i while i <= K
+        bnd = (j == 0) & (i <= K[:, None]) & in_band
+        base = np.where(bnd, i, base)
+        base = np.where(valid | bnd, base, _INF)
+        # left move: closure dp[d] = min_{d'<=d}(base[d'] + (d - d'))
+        t = np.minimum.accumulate(base - dcol, axis=1)
+        dp = np.minimum(base, t + dcol)
+        dp = np.minimum(dp, _INF)
+
+        hit = na == i
+        if hit.any():
+            r = dp[hit, final_d[hit]]
+            okh = r < _INF
+            out[outs[hit][okh]] = 1.0 - r[okh] / mxs[hit][okh]
+        # compaction: pairs past their own na are done; with
+        # threshold_only (the clustering predicate — only "identity >=
+        # min_similar?" matters) also prune pairs whose banded row-min
+        # already exceeds K: the row-min is non-decreasing in i, so they
+        # can never come back under the threshold. Most cross-family
+        # pairs die within ~K rows, collapsing the all-pairs cost.
+        if (i & 7) == 0 or hit.any():
+            live = na > i
+            if threshold_only:
+                live &= dp.min(axis=1) <= K
+            if not live.all():
+                dp, na, nb, K, in_band = (
+                    dp[live], na[live], nb[live], K[live], in_band[live]
+                )
+                amat, bmat = amat[live], bmat[live]
+                final_d, outs, mxs = final_d[live], outs[live], mxs[live]
+        i += 1
+    return out
 
 
 def _derep(records: list) -> list:
@@ -90,12 +178,24 @@ def cluster_sequences(
     if n == 0:
         return []
     thr = 1.0 - dist_cutoff
+    # banded identity at min_similar=thr: pairs below the threshold come
+    # back 0 (band exceeded), pairs above are exact — precisely the
+    # linkage predicate. Pairwise matrix built in vectorized batches.
+    enc = [np.frombuffer(s.upper().encode(), np.uint8) for s in seqs]
+    lens = np.array([len(s) for s in enc], np.int64)
+    ii, jj = np.triu_indices(n, k=1)
+    K = (np.maximum(lens[ii], lens[jj]) * dist_cutoff).astype(np.int64)
+    keep = np.abs(lens[ii] - lens[jj]) <= K
+    ii, jj = ii[keep], jj[keep]
     dist_ok = np.zeros((n, n), bool)
-    for i in range(n):
-        dist_ok[i, i] = True
-        for j in range(i + 1, n):
-            ok = identity(seqs[i], seqs[j]) >= thr
-            dist_ok[i, j] = dist_ok[j, i] = ok
+    np.fill_diagonal(dist_ok, True)
+    CH = 1 << 17
+    for s in range(0, len(ii), CH):
+        pp = np.stack([ii[s : s + CH], jj[s : s + CH]], axis=1)
+        ids = banded_identity_batch(enc, pp, thr, threshold_only=True)
+        ok = ids >= thr
+        dist_ok[pp[ok, 0], pp[ok, 1]] = True
+        dist_ok[pp[ok, 1], pp[ok, 0]] = True
     clusters: list[list[int]] = []
     order = sorted(range(n), key=lambda i: -len(seqs[i]))
     assigned = np.full(n, -1)
@@ -132,9 +232,16 @@ def _chimera_screen(seqs: list, refs: list[tuple[str, str]], margin=0.05):
             flags.append(False)
             continue
         half = len(s) // 2
+        # halves compare against proportional reference halves: the banded
+        # identity normalizes by max(n, m), so a half against a full-length
+        # reference would be length-penalized into meaninglessness
+        frac = half / len(s)
+        cut = lambda ref: max(1, int(round(len(ref) * frac)))  # noqa: E731
+        refs_l = [(n_, ref[: cut(ref)]) for n_, ref in refs]
+        refs_r = [(n_, ref[cut(ref) :]) for n_, ref in refs]
         n_full, i_full = _nearest_reference(s, refs)
-        n_a, i_a = _nearest_reference(s[:half], refs)
-        n_b, i_b = _nearest_reference(s[half:], refs)
+        n_a, i_a = _nearest_reference(s[:half], refs_l)
+        n_b, i_b = _nearest_reference(s[half:], refs_r)
         flags.append(
             n_a != n_b
             and i_a >= i_full + margin

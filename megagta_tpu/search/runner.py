@@ -301,23 +301,54 @@ class BatchSearcher:
     dtype: object = jnp.float32
     chunk: int = 128  # seeds per device batch (fixed shape: one compile,
     # bounded pool memory; the last chunk is padded with absent seeds)
-    # straggler deferral: regular chunks stop after this many lockstep
-    # steps (a DYNAMIC cap — no recompile); seeds still active are re-run
-    # afterwards in dedicated full-depth chunks, so one deep search never
-    # holds a whole chunk of finished seeds hostage. 0 disables.
+    # ---- escalation ladder (three compiled shapes): every seed's RECORDED
+    # result comes from a run that neither hit a step cap nor overflowed
+    # its pool, matching the uncapped, unbounded-memory reference search.
+    #   round 1 (main): full-width chunks; a chunk stops as soon as it
+    #     stops being productive — when <= main_thresh rows are still
+    #     active — or at the defer_steps hard cap. Survivors + overflowed
+    #     seeds are deferred, everyone else is final.
+    #   round 2 (deep): deferred seeds re-run at deep_chunk width with a
+    #     deep_pool_mult x pool and deep_max_steps, uncapped.
+    #   round 3 (exact): the rare seeds that STILL ended capped/overflowed
+    #     re-run at exact_chunk width with an exact_pool_mult x pool.
     defer_steps: int = 256
-    # width of the full-depth straggler re-runs: the per-step cost of the
-    # lockstep kernel scales with the row count, and stragglers are few
-    # (~2% of seeds), so they run in narrow chunks instead of chunk-wide
-    defer_chunk: int = 64
+    main_thresh: int = 16  # alive-row count at which a main chunk stops
+    deep_chunk: int = 64
+    deep_pool_mult: int = 4
+    deep_max_steps: int = 4096
+    exact_chunk: int = 8
+    exact_pool_mult: int = 32
+    exact_max_steps: int = 16384
 
     mesh: object = None  # jax.sharding.Mesh to shard the seed axis over
+    # harvest finished partial (inter-goal) paths into the cache, matching
+    # the reference's unconditional partialResultFromGoal; False restricts
+    # harvesting to accepted-goal paths
+    harvest_partials: bool = True
 
     def __post_init__(self):
         import dataclasses
 
         if self.config.dtype is not self.dtype:
             self.config = dataclasses.replace(self.config, dtype=self.dtype)
+        # deep/exact tiers run the XLA kernel path: the Pallas select
+        # kernel's VMEM temporaries scale with the pool width, and these
+        # big-pool narrow-row shapes blow the scoped-VMEM budget (the
+        # tiers are also a tiny share of total steps)
+        P = self.config.pool_size
+        self.cfg_deep = dataclasses.replace(
+            self.config,
+            pool_size=P * self.deep_pool_mult,
+            max_steps=max(self.config.max_steps, self.deep_max_steps),
+            use_pallas=False, use_pallas_expand=False,
+        )
+        self.cfg_exact = dataclasses.replace(
+            self.config,
+            pool_size=P * self.exact_pool_mult,
+            max_steps=max(self.config.max_steps, self.exact_max_steps),
+            use_pallas=False, use_pallas_expand=False,
+        )
         self.graph = DeviceGraph.from_sdbg(self.dbg, self.config.precompute_hops)
         self.dev_fwd = DeviceHMM.from_profile(self.fwd_hmm, self.fwd_h, self.dtype)
         self.dev_rev = DeviceHMM.from_profile(self.rev_hmm, self.rev_h, self.dtype)
@@ -340,8 +371,10 @@ class BatchSearcher:
             n = self.mesh.devices.size
             if self.chunk % n:
                 self.chunk = ((self.chunk + n - 1) // n) * n
-            if self.defer_chunk % n:
-                self.defer_chunk = ((self.defer_chunk + n - 1) // n) * n
+            if self.deep_chunk % n:
+                self.deep_chunk = ((self.deep_chunk + n - 1) // n) * n
+            if self.exact_chunk % n:
+                self.exact_chunk = ((self.exact_chunk + n - 1) // n) * n
 
     def _place(self, arr):
         """Shard the seed axis over the mesh (EP axis, SURVEY.md 2.10)."""
@@ -381,65 +414,89 @@ class BatchSearcher:
         if not seeds:
             return []
         self.last_stats = {
-            "expansions": 0, "steps": 0, "overflow": 0, "deferred": 0,
+            "expansions": 0, "steps": 0, "overflow": 0,
+            "deferred": 0, "escalated": 0,
         }
         results: dict[int, str] = {}
         order = list(range(len(seeds)))
-        start = 0
+        # round 1: full-width chunks, adaptive early stop + hard cap
         limit = self.defer_steps if self.defer_steps > 0 else None
         deferred: list[int] = []
-        if (
-            self.cache_f is not None
-            and not self.cache_f.entries
-            and len(seeds) > self.chunk
-        ):
-            # warm the path cache with a small first batch so the bulk of
-            # the seeds short-circuit (the reference's term-node memo warms
-            # the same way as its first seeds complete). The warm batch
-            # runs UNCAPPED — completed goal paths are what seed the cache,
-            # and a capped warm run guts it (measured: deferral count rose
-            # 10x) — but at the NARROW defer width, where the uncapped
-            # depth costs ~3x less per step than chunk-wide padding
-            dw = min(self.defer_chunk, self.chunk)
-            warm = max(1, self.chunk // 8)
-            for i in range(0, warm, dw):
-                self._run_chunk(seeds, order[i : min(i + dw, warm)],
-                                results, None, width=dw)
-            start = warm
-        for i in range(start, len(seeds), self.chunk):
+        for i in range(0, len(seeds), self.chunk):
             deferred.extend(
-                self._run_chunk(seeds, order[i : i + self.chunk], results, limit)
+                self._run_chunk(
+                    seeds, order[i : i + self.chunk], results, self.config,
+                    limit=limit, width=self.chunk,
+                    act_thresh=self.main_thresh,
+                )
             )
         self.last_stats["deferred"] = len(deferred)
-        # full-depth straggler re-runs, at the narrow defer width
-        dw = min(self.defer_chunk, self.chunk)
+        # round 2: deep re-runs, narrow width, bigger pool, uncapped
+        dw = min(self.deep_chunk, self.chunk)
+        escalated: list[int] = []
         for i in range(0, len(deferred), dw):
-            self._run_chunk(seeds, deferred[i : i + dw], results, None, width=dw)
+            escalated.extend(
+                self._run_chunk(
+                    seeds, deferred[i : i + dw], results, self.cfg_deep,
+                    limit=None, width=dw,
+                )
+            )
+        self.last_stats["escalated"] = len(escalated)
+        # round 3: exact re-runs for anything still capped/overflowed
+        ew = min(self.exact_chunk, dw)
+        for i in range(0, len(escalated), ew):
+            self._run_chunk(
+                seeds, escalated[i : i + ew], results, self.cfg_exact,
+                limit=None, width=ew, final=True,
+            )
         return [results[i] for i in range(len(seeds))]
 
     def warmup(self, seeds: list[tuple[str, int]]):
-        """Compile both the regular- and defer-width kernels (one tiny
-        search each) so a timed run pays zero compilation."""
+        """Compile all three ladder shapes (one tiny search each) so a
+        timed run pays zero compilation. Restores the cache state so the
+        warmup leaves the searcher bit-identical to a fresh one."""
+        cf, cr, dev = self.cache_f, self.cache_r, self._dev_cache
+        if cf is not None:
+            self.cache_f, self.cache_r = _PathCache(), _PathCache()
+            self._dev_cache = None
+        self.last_stats = {
+            "expansions": 0, "steps": 0, "overflow": 0,
+            "deferred": 0, "escalated": 0,
+        }
         scratch: dict[int, str] = {}
         take = seeds[: min(len(seeds), 4)]
         idxs = list(range(len(take)))
-        self._run_chunk(take, idxs, scratch, self.defer_steps or None)
-        dw = min(self.defer_chunk, self.chunk)
-        self._run_chunk(take, idxs, scratch, None, width=dw)
+        self._run_chunk(take, idxs, scratch, self.config,
+                        limit=self.defer_steps or None, width=self.chunk,
+                        act_thresh=self.main_thresh)
+        dw = min(self.deep_chunk, self.chunk)
+        self._run_chunk(take, idxs, scratch, self.cfg_deep,
+                        limit=None, width=dw)
+        ew = min(self.exact_chunk, dw)
+        self._run_chunk(take, idxs, scratch, self.cfg_exact,
+                        limit=None, width=ew, final=True)
         self.last_stats = {}
+        if cf is not None:
+            self.cache_f, self.cache_r, self._dev_cache = cf, cr, dev
 
-    def _run_chunk(self, all_seeds, idxs, results, limit, width=None):
-        """Search the seeds at `idxs`; record finished contigs in
-        `results`; return the indices still active at the step limit."""
-        contigs, still_active = self._search_chunk(
-            [all_seeds[i] for i in idxs], limit, width
+    def _run_chunk(self, all_seeds, idxs, results, cfg, limit, width,
+                   act_thresh=0, final=False):
+        """Search the seeds at `idxs` under `cfg`; record contigs in
+        `results`; return the indices needing escalation (still active at
+        the stop condition, or pool-overflowed). `final=True` records
+        everything and counts residual overflow instead of escalating."""
+        contigs, still_active, overflowed = self._search_chunk(
+            [all_seeds[i] for i in idxs], cfg, limit, width, act_thresh
         )
         deferred = []
         for j, i in enumerate(idxs):
-            if limit is not None and still_active[j]:
+            bad = still_active[j] or overflowed[j]
+            if bad and not final:
                 deferred.append(i)
             else:
                 results[i] = contigs[j]
+                if bad:
+                    self.last_stats["overflow"] += 1
         return deferred
 
     def _build_starts(self, seeds: list[tuple[str, int]], S: int):
@@ -468,12 +525,17 @@ class BatchSearcher:
             si_r[idxs], sf_r[idxs] = ints, floats
         return si_f, sf_f, si_r, sf_r
 
-    def _search_chunk(self, seeds, step_limit=None, width=None):
+    def _search_chunk(self, seeds, cfg=None, step_limit=None, width=None,
+                      act_thresh=0):
+        cfg = cfg or self.config
         S = width or self.chunk
-        B = self.config.expand_width
+        B = cfg.expand_width
         si_f, sf_f, si_r, sf_r = self._build_starts(seeds, S)
         limit_arr = (
             None if step_limit is None else jnp.asarray(step_limit, jnp.int32)
+        )
+        thresh_arr = (
+            None if not act_thresh else jnp.asarray(act_thresh, jnp.int32)
         )
 
         # one merged run: rows [0:S] forward, [S:2S] reverse
@@ -486,10 +548,11 @@ class BatchSearcher:
                 self._place(jnp.asarray(dirs)),
                 self._place(jnp.asarray(np.concatenate([si_f, si_r]))),
                 self._place(jnp.asarray(np.concatenate([sf_f, sf_r]), self.dtype)),
-                self.config,
+                cfg,
                 self.fwd_hmm.model_length,
                 tab,
                 limit_arr,
+                thresh_arr,
             )
         else:
             # unequal model lengths: one homogeneous run per direction,
@@ -508,10 +571,11 @@ class BatchSearcher:
                         self._place(jnp.full((S,), d, jnp.int32)),
                         self._place(jnp.asarray(si)),
                         self._place(jnp.asarray(sf, self.dtype)),
-                        self.config,
+                        cfg,
                         hmm_.model_length,
                         tab,
                         limit_arr,
+                        thresh_arr,
                     )
                 )
             rf, rr = halves
@@ -526,12 +590,13 @@ class BatchSearcher:
                 for k in rf
             }
 
-        # ---- fetch 1: the scalar triple (steps, expansions, overflow)
+        # ---- fetch 1: the scalar triple (steps, expansions, overflow);
+        # overflow is tracked per SEED from the meta block (a seed's
+        # recorded run must be overflow-free; escalation re-runs it)
         scal = np.asarray(res["scal"])
         steps = int(scal[0])
         self.last_stats["steps"] += steps
         self.last_stats["expansions"] += int(scal[1])
-        self.last_stats["overflow"] += int(scal[2])
 
         # ---- device traceback on the actually-used trace prefix
         # (pow2-bucketed so only a handful of shapes ever compile)
@@ -549,7 +614,7 @@ class BatchSearcher:
             jnp.concatenate([res["meta"], dlens[:, None]], axis=1)
         )
         # pow2 bucket so the slice+stack jit compiles only a few shapes
-        lmax = min(Tc, _round_up_pow2(max(int(meta[:, 5].max()), 64)))
+        lmax = min(Tc, _round_up_pow2(max(int(meta[:, 6].max()), 64)))
 
         # ---- fetch 3: the chains, one stacked transfer
         if dreals.dtype == jnp.float32:
@@ -562,11 +627,23 @@ class BatchSearcher:
             reals = np.asarray(dreals[:, :lmax], np.float64)
 
         ce = meta[:, 2]
-        goal = meta[:, 0]
         act = meta[:, 4] != 0
+        ovf = meta[:, 5] != 0
         still_active = act[:S] | act[S:]
+        overflowed = ovf[:S] | ovf[S:]
         ce_f, ce_r = ce[:S], ce[S:]
-        goal_f, goal_r = goal[:S], goal[S:]
+        # harvest any direction whose search FINISHED (goal accepted or
+        # frontier exhausted) — the reference caches the result chain after
+        # every search, partial results included (partialResultFromGoal is
+        # called unconditionally, hmm_graph_search.h:64-83); a direction
+        # still active at a step cap is not final and must not be cached,
+        # and an overflowed direction's path may have lost entries
+        fin_f = ~act[:S] & ~ovf[:S]
+        fin_r = ~act[S:] & ~ovf[S:]
+        if not self.harvest_partials:
+            goal = meta[:, 0]
+            fin_f = fin_f & (goal[:S] >= 0)
+            fin_r = fin_r & (goal[S:] >= 0)
 
         full, ends, n_arr, best = _chain_strings(packed, reals)
         plain = [
@@ -582,7 +659,7 @@ class BatchSearcher:
                 )
             else:
                 right = plain[i]
-                if self.cache_f is not None and goal_f[i] >= 0:
+                if self.cache_f is not None and fin_f[i]:
                     self.cache_f.harvest(
                         nodes[i], packed[i], reals[i],
                         full[i], ends[i], int(n_arr[i]), int(best[i]),
@@ -595,7 +672,7 @@ class BatchSearcher:
                 )
             else:
                 left = plain[j]
-                if self.cache_r is not None and goal_r[i] >= 0:
+                if self.cache_r is not None and fin_r[i]:
                     self.cache_r.harvest(
                         nodes[j], packed[j], reals[j],
                         full[j], ends[j], int(n_arr[j]), int(best[j]),
@@ -607,4 +684,5 @@ class BatchSearcher:
         self.last_stats["cache_hits"] = self.last_stats.get("cache_hits", 0) + int(
             (ce_f >= 0).sum() + (ce_r >= 0).sum()
         )
-        return contigs, still_active[: len(seeds)]
+        n = len(seeds)
+        return contigs, still_active[:n], overflowed[:n]

@@ -412,6 +412,11 @@ def wavefront_search_merged(
     step_limit: jnp.ndarray | None = None,  # [] int32 dynamic cap (straggler
     # deferral: the runner reruns still-active seeds later; arenas/compile
     # stay sized by the static config.max_steps)
+    act_thresh: jnp.ndarray | None = None,  # [] int32: stop the lockstep
+    # loop once <= this many ROWS are still active (the survivors are
+    # deferred by the runner; 0/None = run until none are active). This is
+    # the adaptive analogue of step_limit: a chunk stops exactly when it
+    # stops being productive instead of at a fixed depth.
 ):
     """Run S lockstep searches. Returns dict of results + trace arenas.
 
@@ -802,22 +807,20 @@ def wavefront_search_merged(
         if config.use_pallas:
             from ..ops.pallas.step_select import step_select_kill
 
+            # all seven fields of the B selected entries come out of the
+            # kernel (invalid slots extract slot 0; the values are masked
+            # by sel_valid everywhere that matters — trace records at
+            # sel_valid=false positions are never reached by traceback)
             (
-                fval, sel, sel_valid, any_alive, is_goal, ia_s, ibx_s,
+                fval, sel, sel_valid, any_alive, is_goal,
+                ia_s, ibx_s, lpx_s, sc_s, re_s, mx_s,
             ) = step_select_kill(
-                fval, pia, pibx, active,
+                fval, pia, pibx, plpx, psc, pre, pmx, active,
                 B, L, interpret=jax.default_backend() != "tpu",
             )
             newly_exhausted = active & ~any_alive
             done_partial = done_partial | newly_exhausted
             active = active & any_alive
-            # the four remaining fields of the B selected entries: [S, B]
-            # gathers, ~6x cheaper than streaming those planes in-kernel
-            taa = lambda a: jnp.take_along_axis(a, sel, axis=1)  # noqa: E731
-            lpx_s = taa(plpx)
-            sc_s = taa(psc)
-            re_s = taa(pre)
-            mx_s = taa(pmx)
         else:
             sel1, any_alive = select_lex(fval, ibx, active)
             newly_exhausted = active & ~any_alive
@@ -1029,7 +1032,7 @@ def wavefront_search_merged(
         next_free = carry[-2]
         step = carry[-1]
         return (
-            jnp.any(active)
+            (active.sum(dtype=jnp.int32) > act_thresh_d)
             & (step < max_steps_d)
             & (next_free + CAND <= P)
         )
@@ -1041,7 +1044,9 @@ def wavefront_search_merged(
     def outer_cond(carry):
         active = carry[10]
         step = carry[-1]
-        return jnp.any(active) & (step < max_steps_d)
+        return (active.sum(dtype=jnp.int32) > act_thresh_d) & (
+            step < max_steps_d
+        )
 
     # handle immediate-goal seeds: record start as trace[0]
     trace3 = trace3.at[:, 0, 0].set(s_node)
@@ -1068,6 +1073,11 @@ def wavefront_search_merged(
     max_steps_d = jnp.asarray(config.max_steps, jnp.int32)
     if step_limit is not None:
         max_steps_d = jnp.minimum(max_steps_d, step_limit.astype(jnp.int32))
+    act_thresh_d = (
+        jnp.zeros((), jnp.int32)
+        if act_thresh is None
+        else act_thresh.astype(jnp.int32)
+    )
 
     carry = (
         fval, pia, pibx, plpx, psc, pre, pmx,
@@ -1103,7 +1113,7 @@ def wavefront_search_merged(
         "meta": jnp.stack(
             [
                 goal_idx, inter_idx, cached_entry, cached_at,
-                active.astype(jnp.int32),
+                active.astype(jnp.int32), overflow.astype(jnp.int32),
             ],
             1,
         ),

@@ -54,11 +54,17 @@ def test_step_select_kill_matches_lex_reference():
     fval[1, 1::2] = 9
 
     ia = rng.integers(0, 50_000, (S, P)).astype(np.int32)
+    lpx = rng.integers(0, 2**28, (S, P)).astype(np.int32)
+    sc = rng.normal(size=(S, P)).astype(np.float32)
+    re = rng.normal(size=(S, P)).astype(np.float32)
+    mx = rng.normal(size=(S, P)).astype(np.float32)
 
     (
         fval2, sel, selv, any_alive, is_goal, ia_s, ibx_s,
+        lpx_s, sc_s, re_s, mx_s,
     ) = step_select_kill(
         jnp.asarray(fval), jnp.asarray(ia), jnp.asarray(ibx),
+        jnp.asarray(lpx), jnp.asarray(sc), jnp.asarray(re), jnp.asarray(mx),
         jnp.asarray(active), B, L, interpret=True,
     )
     ref_idx, ref_any = _ref_lex(fval, ibx, active)
@@ -104,6 +110,10 @@ def test_step_select_kill_matches_lex_reference():
             p = int(sel[s, b])
             assert int(np.asarray(ia_s)[s, b]) == ia[s, p]
             assert int(np.asarray(ibx_s)[s, b]) == ibx[s, p]
+            assert int(np.asarray(lpx_s)[s, b]) == lpx[s, p]
+            assert float(np.asarray(sc_s)[s, b]) == sc[s, p]
+            assert float(np.asarray(re_s)[s, b]) == re[s, p]
+            assert float(np.asarray(mx_s)[s, b]) == mx[s, p]
             hit = (ia[s] == ia[s, p]) & (
                 (ibx[s] & IDENT_MASK) == (ibx[s, p] & IDENT_MASK)
             )

@@ -257,17 +257,31 @@ def test_bench_workload_k44_graph_and_contigs(tmp_path):
         ref_oracle.tip_words_to_labels(items["tip_words"], items["k"]),
     )
 
-    # contig equality on a seed subsample (full 1430-seed equality is the
-    # bench's digest check; 150 seeds keep this test CPU-sized)
-    ref_contigs = {r.seq.upper() for r in read_fastx(ref["contigs"])}
+    # PER-SEED contig equality on a seed subsample (full 5720-seed equality
+    # at prod scale is bench.py's gate; 150 seeds keep this test CPU-sized).
+    # Ref contig i maps to seed i via its `_contig_{2i}_contig_{2i+1}`
+    # header (search.cpp:80); run with the cache ON and OFF so a
+    # cache-composition bug cannot hide behind set membership.
+    import re as re_mod
+
+    n_seeds = 150
+    by_idx = {}
+    for r in read_fastx(ref["contigs"]):
+        m = re_mod.search(r"_contig_(\d+)_contig_\d+$", r.name)
+        by_idx[int(m.group(1)) // 2] = r.seq.upper()
     fwd = parse_hmm(info["forward_hmm"])
     rev = parse_hmm(info["reverse_hmm"])
-    seeds = read_seed_file(ref["seeds"])[:150]
-    bs = BatchSearcher(
-        dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
-        WavefrontConfig(pool_size=1 << 12, max_steps=1 << 11, expand_width=8,
-                        use_cache=True),
-        dtype=jnp.float64, chunk=64,
-    )
-    ours = bs.search(seeds)
-    assert ours and all(c.upper() in ref_contigs for c in ours)
+    seeds = read_seed_file(ref["seeds"])[:n_seeds]
+    want = [by_idx[i] for i in range(n_seeds)]
+    for use_cache in (True, False):
+        bs = BatchSearcher(
+            dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
+            WavefrontConfig(pool_size=1 << 12, max_steps=1 << 11,
+                            expand_width=8, use_cache=use_cache),
+            dtype=jnp.float64, chunk=64,
+        )
+        ours = [c.upper() for c in bs.search(seeds)]
+        assert ours == want, (
+            f"use_cache={use_cache}: "
+            f"{sum(a != b for a, b in zip(ours, want))}/{n_seeds} differ"
+        )

@@ -41,25 +41,27 @@ def make_bs(chunk=512):
 
 
 bs = make_bs()
-bs.search(seeds[: bs.chunk + 1])  # warm-up/compile
-bs = make_bs()
+bs.warmup(seeds)  # compile all ladder shapes; cache state restored
 
 orig = bs._search_chunk
 log = []
 
 
-def timed(seed_chunk, step_limit=None, width=None):
+def timed(seed_chunk, cfg=None, step_limit=None, width=None, act_thresh=0):
     s0 = dict(bs.last_stats)
     t0 = time.perf_counter()
-    out = orig(seed_chunk, step_limit, width)
+    out = orig(seed_chunk, cfg, step_limit, width, act_thresh)
     dt = time.perf_counter() - t0
     log.append({
         "n": len(seed_chunk),
         "limit": step_limit,
+        "thresh": act_thresh,
+        "pool": (cfg or bs.config).pool_size,
         "steps": bs.last_stats["steps"] - s0.get("steps", 0),
         "exp": bs.last_stats["expansions"] - s0.get("expansions", 0),
         "wall": round(dt, 3),
         "active_left": int(out[1].sum()),
+        "ovf": int(out[2].sum()),
     })
     return out
 
