@@ -86,8 +86,10 @@ def _add_main_args(p: argparse.ArgumentParser):
     p.add_argument("--max-steps", type=int, default=1 << 13)
     p.add_argument("--expand-width", type=int, default=8,
                    help="frontier nodes expanded per seed per step (1 = exact serial semantics)")
-    p.add_argument("--chunk", type=int, default=512, help="seeds per device batch")
-    p.add_argument("--build-engine", choices=["auto", "host", "device"],
+    p.add_argument("--chunk", type=int, default=0,
+                   help="seeds per device batch (0 = auto-size to device memory)")
+    p.add_argument("--build-engine",
+                   choices=["auto", "host", "device", "sharded"],
                    default="auto", help="SdBG construction engine (auto = "
                    "device-resident on accelerator backends)")
     p.add_argument("--dist-cutoff", type=float, default=0.01,

@@ -61,7 +61,9 @@ class Options:
     # elsewhere (the kernels run everywhere via interpret mode, but only
     # pay off on real hardware)
     use_pallas: bool | None = None
-    chunk: int = 512  # seeds per device batch
+    # 0 = auto: sized to device memory (utils/budget.auto_search_chunk,
+    # the reference's mem_flag auto-sizing, megagta.py:300)
+    chunk: int = 0  # seeds per device batch
     # auto = device-resident construction on accelerator backends when the
     # build is mercy/assist-free (device_builder.py), host numpy otherwise
     build_engine: str = "auto"  # auto | host | device
@@ -69,8 +71,9 @@ class Options:
     dist_cutoff: float = 0.01
     # streaming-counting batch (reference 4M-read ingestion batches,
     # src/read_lib_functions-inl.h:178-179); datasets at or under one
-    # batch take the whole-array path
-    batch_reads: int = 4_000_000
+    # batch take the whole-array path. 0 = auto: sized to available host
+    # RAM (utils/budget.auto_batch_reads, reference cx1.h:125-148)
+    batch_reads: int = 0
 
     def validate(self):
         if not self.k_list:
@@ -178,6 +181,28 @@ class Pipeline:
                     }
         return genes
 
+    def _auto_chunk(self, dbg, n_seeds: int) -> int:
+        """Search batch width sized to device memory (the reference's
+        mem_flag auto-sizing role for the search stage)."""
+        from ..utils.budget import auto_search_chunk
+
+        c = auto_search_chunk(
+            self.opt.pool_size, min(256, self.opt.max_steps),
+            self.opt.expand_width, dbg.size, 4, n_seeds,
+        )
+        log(f"auto chunk = {c} ({n_seeds} seeds)")
+        return c
+
+    def _batch_reads(self, pkg) -> int:
+        """Streaming-count batch: explicit flag, or auto-sized to host
+        RAM (reference lv1 sizing, cx1.h:125-148)."""
+        if self.opt.batch_reads:
+            return self.opt.batch_reads
+        from ..utils.budget import auto_batch_reads
+
+        mean = int(pkg.starts[-1]) / max(pkg.num_reads, 1)
+        return auto_batch_reads(pkg.num_reads, mean)
+
     def graph_prefix(self, k: int) -> str:
         d = os.path.join(self.opt.out_dir, f"k{k}")
         os.makedirs(d, exist_ok=True)
@@ -211,15 +236,26 @@ class Pipeline:
         if eng == "host":
             return "host"
         supported = device_build_supported(self.opt.min_count, None, num_assist) and not mercy
-        if eng == "device":
+        if eng in ("device", "sharded"):
             if not supported:
                 raise ValueError(
-                    "build_engine=device requires a mercy/assist-free build"
+                    f"build_engine={eng} requires a mercy/assist-free build"
                 )
-            return "device"
+            return eng
         import jax
 
-        return "device" if supported and jax.default_backend() != "cpu" else "host"
+        if not supported:
+            return "host"
+        # auto: keyspace-sharded counting across every local device (the
+        # reference's parallel CX1 bucket pipeline, src/cx1.h:204-303);
+        # single-device builds use the plain device engine. Multi-host
+        # counting still runs per-host (reads are host-sliced upstream).
+        if jax.default_backend() == "cpu":
+            return "host"
+        n = jax.local_device_count()
+        if n > 1 and (n & (n - 1)) == 0 and not self.multihost:
+            return "sharded"
+        return "device"
 
     def build_graph(self, k: int, assist_file: str | None, lib_path: str) -> str:
         prefix = self.graph_prefix(k)
@@ -244,20 +280,27 @@ class Pipeline:
                         pkg, k, self.opt.min_count, solid_mask=solid,
                         num_assist=num_assist,
                     )
+                elif engine == "sharded":
+                    from ..parallel.mesh import make_mesh
+                    from ..parallel.sharded_build import build_sdbg_sharded
+
+                    dbg = build_sdbg_sharded(
+                        make_mesh(axis="keys"), pkg, k, self.opt.min_count
+                    )
                 elif engine == "device":
                     from ..graph.device_builder import build_sdbg_device
 
                     dbg = build_sdbg_device(
                         pkg, k, self.opt.min_count,
-                        batch_reads=self.opt.batch_reads,
+                        batch_reads=self._batch_reads(pkg),
                     )
                 else:
+                    br = self._batch_reads(pkg)
                     dbg = build_sdbg(
                         pkg, k, self.opt.min_count, num_assist=num_assist,
                         batch_reads=(
-                            self.opt.batch_reads
-                            if pkg.num_reads > self.opt.batch_reads
-                            and num_assist == 0
+                            br
+                            if pkg.num_reads > br and num_assist == 0
                             else None
                         ),
                     )
@@ -341,11 +384,16 @@ class Pipeline:
                         if self.opt.use_pallas is not None
                         else on_tpu
                     )
+                    # seed-axis mesh: global on a single host, per-host
+                    # local devices under multihost (each process searches
+                    # its seed slice across ALL its local devices)
                     mesh = None
-                    if jax.device_count() > 1 and not self.multihost:
+                    if jax.local_device_count() > 1:
                         from ..parallel.mesh import make_mesh
 
-                        mesh = make_mesh(axis="seeds")
+                        mesh = make_mesh(
+                            axis="seeds", local=self.multihost
+                        )
                     bs = BatchSearcher(
                         dbg, fwd, rev,
                         heuristic_table(fwd), heuristic_table(rev),
@@ -360,7 +408,9 @@ class Pipeline:
                             use_pallas_expand=use_pallas,
                         ),
                         dtype=jnp.float64 if self.opt.float64 else jnp.float32,
-                        chunk=self.opt.chunk,
+                        chunk=self.opt.chunk or self._auto_chunk(
+                            dbg, len(my_seeds)
+                        ),
                         mesh=mesh,
                     )
                     contigs = bs.search(my_seeds)

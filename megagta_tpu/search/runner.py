@@ -177,27 +177,52 @@ def _chain_strings(packed: np.ndarray, reals: np.ndarray):
 class _PathCache:
     """Host side of the cross-seed path cache (term-node equivalent).
 
-    Holds identity -> (emission suffix after the node on a goal path, max
-    real_score downstream). Suffixes are stored as (shared bytes, start,
-    end) slices of the goal row's emission string — no per-entry string
-    materialization. The bucketized table probed by the wavefront kernel
-    lives on device as [2*HB, 16] rows, direction-major (4 slots: cols 0-3
-    key a, 4-7 key b, 8-11 entry index — one 64 B row gather per probe);
-    `pending` accumulates (bucket, slot, a, b, val) scatter updates."""
+    STITCHED per-identity links, exactly like the reference's term_nodes
+    memo (hmm_graph_search.h:83-109): each entry is keyed by one PARENT
+    identity (node, state, state_no) and records only the next hop — the
+    child's emission, its identity, and the real-score DELTA parent->child.
+    First insert wins (HashMapST semantics), so a composed path follows
+    the first-inserted child at EVERY hop and can switch donors mid-chain
+    — committing to one donor's whole suffix was measurably wrong (19/5720
+    prod contigs picked a higher-real donor suffix where the reference's
+    stitched walk lands on a different path). Resolution (suffix bytes +
+    downstream real max/offset) is memoized per entry.
+
+    The bucketized table probed by the wavefront kernel lives on device as
+    [2*HB, 16] rows, direction-major (4 slots: cols 0-3 key a, 4-7 key b,
+    8-11 entry index — one 64 B row gather per probe); `pending`
+    accumulates (bucket, slot, a, b, val) scatter updates."""
 
     def __init__(self, size_log2: int = 19):
         self.HB = 1 << size_log2  # buckets of 4 slots
         self.fill = np.zeros(self.HB, np.int8)
-        self.entries: list[tuple[bytes, int, int, float]] = []
-        self.seen: set = set()
+        self.key2idx: dict[tuple[int, int], int] = {}
+        self.emis: list[bytes] = []  # child's emission (b'' = delete state)
+        self.dc: list[float] = []  # real(child) - real(parent)
+        self.child_key: list[tuple[int, int]] = []
+        self._res: dict[int, tuple[bytes, float, int]] = {}
         self.pending: list[tuple[int, int, int, int, int]] = []
+        self.limit = 0  # batch-start snapshot (see begin_batch)
+
+    def begin_batch(self):
+        """Pin resolution to the entries visible to THIS batch's device
+        probe table: stitched walks ignore entries harvested mid-batch
+        (the reference's serial memo has no such window; our batch
+        equivalent is chunk-granularity, like its parallel threads)."""
+        self._res.clear()
+        self.limit = len(self.emis)
+
+    @property
+    def entries(self):  # truthiness + len() compatibility
+        return self.emis
 
     def _insert(self, a: int, b: int, entry_idx: int):
         h = ((a * 2654435761) ^ (b * 40503)) & 0xFFFFFFFF
         bk = h % self.HB
         slot = int(self.fill[bk])
         if slot >= 4:
-            return  # bucket full: drop (lossy cache)
+            return  # bucket full: drop (lossy DEVICE probe; the host-side
+            # key2idx stitching still sees the entry)
         self.fill[bk] = slot + 1
         self.pending.append((bk, slot, a, b, entry_idx))
 
@@ -211,28 +236,63 @@ class _PathCache:
         n: int,
         best: int,
     ):
-        """Insert every node of a completed goal path (first insert wins,
-        like the reference HashMapST, hmm_graph_search.h:83-109)."""
+        """Insert one (parent -> child) step per node of a completed goal
+        path, keys = chain indices n-1 (root) .. best+1 — the reference
+        walks ptr=goal..root inserting (discovered_from, ptr) pairs, so
+        the goal/best node itself is never a key."""
         if n == 0 or n - 1 <= best:
             return
-        # best-chain in root -> best order = chain indices n-1 .. best
-        ci = np.arange(n - 1, best - 1, -1)
+        ci = np.arange(n - 1, best, -1)  # parents root .. best+1
         a_arr = nodes_row[ci].tolist()
-        p_arr = packed_row[ci]
-        b_arr = ((p_arr >> 11 << 2) | ((p_arr >> 9) & 3)).tolist()
-        d_arr = (float(reals_row[best]) - reals_row[ci]).tolist()
+        p_par = packed_row[ci]
+        b_arr = ((p_par >> 11 << 2) | ((p_par >> 9) & 3)).tolist()
+        p_ch = packed_row[ci - 1]
+        cb_arr = ((p_ch >> 11 << 2) | ((p_ch >> 9) & 3)).tolist()
+        ca_arr = nodes_row[ci - 1].tolist()
+        d_arr = (reals_row[ci - 1] - reals_row[ci]).tolist()
         s_arr = ends_row[ci].tolist()
-        e_best = int(ends_row[best])
-        seen = self.seen
-        for a, b, dmax, s_off in zip(a_arr, b_arr, d_arr, s_arr):
-            if a < 0 or (a, b) in seen:
+        e_arr = ends_row[ci - 1].tolist()
+        k2i = self.key2idx
+        for a, b, ca, cb, dc, s0, e0 in zip(
+            a_arr, b_arr, ca_arr, cb_arr, d_arr, s_arr, e_arr
+        ):
+            if a < 0 or (a, b) in k2i:
                 continue
-            seen.add((a, b))
-            # real_score increments from this node onward are path-local, so
-            # the downstream maximum is stored as a DELTA from this node's
-            # score and translated into the hitting seed's accumulation
-            self.entries.append((full, s_off, e_best, dmax))
-            self._insert(a, b, len(self.entries) - 1)
+            idx = len(self.emis)
+            k2i[(a, b)] = idx
+            self.emis.append(full[s0:e0])
+            self.dc.append(float(dc))
+            self.child_key.append((ca, cb))
+            self._insert(a, b, idx)
+
+    def walk(self, entry_idx: int):
+        """Stitched walk arrays from this entry's parent: (suffix bytes,
+        per-node cumulative real delta [W], codon-length delta [W], byte
+        offset past each node [W]). Memoized per hit entry; a stitched
+        cycle (possible only through insert-state loops across donors) or
+        an unreasonably long walk is cut at the last resolved node."""
+        hit = self._res.get(entry_idx)
+        if hit is not None:
+            return hit
+        emis_l, dc_l = [], []
+        on_path: set[int] = set()
+        idx: int | None = entry_idx
+        while idx is not None and idx not in on_path and len(on_path) < 65536:
+            on_path.add(idx)
+            emis_l.append(self.emis[idx])
+            dc_l.append(self.dc[idx])
+            idx = self.key2idx.get(self.child_key[idx])
+            if idx is not None and idx >= self.limit:
+                idx = None  # harvested mid-batch: invisible to this batch
+        el = np.array([len(e) for e in emis_l], np.int64)
+        out = (
+            b"".join(emis_l),
+            np.cumsum(np.array(dc_l, np.float64)),
+            np.cumsum(el // 3),
+            np.cumsum(el),
+        )
+        self._res[entry_idx] = out
+        return out
 
     def compose(
         self,
@@ -242,16 +302,34 @@ class _PathCache:
         n: int,
         best: int,
         entry_idx: int,
-    ) -> bytes:
-        """Prefix emissions + cached suffix, with the reference's
-        highest-real-score truncation over the composite chain. Chain
-        entry 0 is the cache-hit node."""
-        src, s_off, e_off, delta_max = self.entries[entry_idx]
-        suffix_max = float(reals_row[0]) + delta_max
+        inter_pre: float,
+        len_hit: int,
+    ) -> bytes | None:
+        """Prefix emissions + stitched cached suffix, replaying the
+        reference's endgame (hmm_graph_search.h:250-262, 279-286, 345-356):
+        every walked node competes for the inter goal by real_score +
+        exit_prob(length) against the seed's own pre-hit inter value
+        (`inter_pre`, earlier-wins ties); the winner's chain is then
+        truncated at its highest-real node (tip-most on ties). Returns
+        None when the pre-hit inter goal wins — the caller falls back to
+        the seed's OWN inter-goal chain, exactly as an uncached search
+        would end."""
         if n == 0:
             return b""
-        if suffix_max >= float(reals_row[best]):
-            return full + src[s_off:e_off]
+        sfx, dv, dl, bo = self.walk(entry_idx)
+        v = float(reals_row[0]) + dv  # walk nodes' real scores
+        lens = np.minimum(len_hit + dl, 2999).astype(np.float64)
+        x = v + 2.0 * np.log(2.0 / (lens + 2.0))
+        xw = x.max()
+        if inter_pre >= xw:  # pre-hit inter goal wins (ties -> earlier)
+            return None
+        m = int(np.argmax(x))  # first occurrence = earliest pop wins ties
+        vw = v[: m + 1]
+        wmax = vw.max()
+        if wmax >= float(reals_row[best]):  # tie -> tip-most = the walk
+            # tip-most max within the walk: LAST index at the max
+            wj = len(vw) - 1 - int(np.argmax(vw[::-1]))
+            return full + sfx[: bo[wj]]
         return full[: ends_row[best]]
 
 
@@ -326,17 +404,27 @@ class BatchSearcher:
     # the reference's unconditional partialResultFromGoal; False restricts
     # harvesting to accepted-goal paths
     harvest_partials: bool = True
+    # diagnostics: called per (seed, direction) with the traceback/compose
+    # inputs when set — used by tools/ to audit cache-composition decisions
+    debug_hook: object = None
 
     def __post_init__(self):
         import dataclasses
 
         if self.config.dtype is not self.dtype:
             self.config = dataclasses.replace(self.config, dtype=self.dtype)
+        # main tier: arena depth = the defer cap (trace/extract shapes stay
+        # small and STATIC — one compile, no per-bucket recompiles mid-run)
+        P = self.config.pool_size
+        self.cfg_main = self.config
+        if self.defer_steps and self.defer_steps < self.config.max_steps:
+            self.cfg_main = dataclasses.replace(
+                self.config, max_steps=self.defer_steps
+            )
         # deep/exact tiers run the XLA kernel path: the Pallas select
         # kernel's VMEM temporaries scale with the pool width, and these
         # big-pool narrow-row shapes blow the scoped-VMEM budget (the
         # tiers are also a tiny share of total steps)
-        P = self.config.pool_size
         self.cfg_deep = dataclasses.replace(
             self.config,
             pool_size=P * self.deep_pool_mult,
@@ -388,6 +476,8 @@ class BatchSearcher:
     def _cache_tables(self):
         """Persistent device table, updated by scattering pending entries."""
         HB = self.cache_f.HB
+        self.cache_f.begin_batch()
+        self.cache_r.begin_batch()
         if self._dev_cache is None:
             self._dev_cache = jnp.full((2 * HB, 16), -1, jnp.int32)
         for d, cache in ((0, self.cache_f), (1, self.cache_r)):
@@ -420,17 +510,32 @@ class BatchSearcher:
         results: dict[int, str] = {}
         order = list(range(len(seeds)))
         # round 1: full-width chunks, adaptive early stop + hard cap
-        limit = self.defer_steps if self.defer_steps > 0 else None
         deferred: list[int] = []
         for i in range(0, len(seeds), self.chunk):
             deferred.extend(
                 self._run_chunk(
-                    seeds, order[i : i + self.chunk], results, self.config,
-                    limit=limit, width=self.chunk,
+                    seeds, order[i : i + self.chunk], results, self.cfg_main,
+                    limit=None, width=self.chunk,
                     act_thresh=self.main_thresh,
                 )
             )
         self.last_stats["deferred"] = len(deferred)
+        # round 1.5: re-run deferrals at the SAME config once — the first
+        # chunks ran on a cold path cache and defer most of their seeds;
+        # by now the cache is hot and the bulk short-circuit in a few
+        # steps, leaving only true stragglers for the deep tier
+        if len(deferred) > self.deep_chunk:
+            again: list[int] = []
+            for i in range(0, len(deferred), self.chunk):
+                again.extend(
+                    self._run_chunk(
+                        seeds, deferred[i : i + self.chunk], results,
+                        self.cfg_main, limit=None, width=self.chunk,
+                        act_thresh=self.main_thresh,
+                    )
+                )
+            deferred = again
+        self.last_stats["stragglers"] = len(deferred)
         # round 2: deep re-runs, narrow width, bigger pool, uncapped
         dw = min(self.deep_chunk, self.chunk)
         escalated: list[int] = []
@@ -466,8 +571,8 @@ class BatchSearcher:
         scratch: dict[int, str] = {}
         take = seeds[: min(len(seeds), 4)]
         idxs = list(range(len(take)))
-        self._run_chunk(take, idxs, scratch, self.config,
-                        limit=self.defer_steps or None, width=self.chunk,
+        self._run_chunk(take, idxs, scratch, self.cfg_main,
+                        limit=None, width=self.chunk,
                         act_thresh=self.main_thresh)
         dw = min(self.deep_chunk, self.chunk)
         self._run_chunk(take, idxs, scratch, self.cfg_deep,
@@ -598,12 +703,13 @@ class BatchSearcher:
         self.last_stats["steps"] += steps
         self.last_stats["expansions"] += int(scal[1])
 
-        # ---- device traceback on the actually-used trace prefix
-        # (pow2-bucketed so only a handful of shapes ever compile)
-        Tfull = res["trace3"].shape[2]
-        Tc = min(Tfull, _round_up_pow2(max(1 + steps * B, 128)))
-        trace3 = res["trace3"][:, :, :Tc]
-        treal = res["treal"][:, :Tc]
+        # ---- device traceback over the full (static) trace arena: the
+        # arena is sized per ladder tier (main = defer_steps), so the
+        # extract compiles ONCE per tier instead of per pow2 length bucket
+        # (a mid-run bucket compile cost ~14 s on the tunneled TPU)
+        Tc = res["trace3"].shape[2]
+        trace3 = res["trace3"]
+        treal = res["treal"]
         start_idx = jnp.where(
             res["cached_at"] >= 0, res["cached_at"], res["inter_idx"]
         )
@@ -613,8 +719,9 @@ class BatchSearcher:
         meta = np.asarray(
             jnp.concatenate([res["meta"], dlens[:, None]], axis=1)
         )
+        inter_pre = meta[:, 6].view(np.float32).astype(np.float64)
         # pow2 bucket so the slice+stack jit compiles only a few shapes
-        lmax = min(Tc, _round_up_pow2(max(int(meta[:, 6].max()), 64)))
+        lmax = min(Tc, _round_up_pow2(max(int(meta[:, 7].max()), 64)))
 
         # ---- fetch 3: the chains, one stacked transfer
         if dreals.dtype == jnp.float32:
@@ -650,13 +757,52 @@ class BatchSearcher:
             full[r][: ends[r, best[r]]] if n_arr[r] else b""
             for r in range(packed.shape[0])
         ]
+
+        # compose fallback data: when a hit seed's PRE-HIT inter goal beats
+        # every walked node, the reference's result is the seed's own
+        # inter-goal chain — extract it separately for the hit rows
+        plain_i = plain
+        any_hit = bool((ce >= 0).any())
+        if any_hit and (meta[:, 3] >= 0).any():
+            dn2, dp2, dr2, dl2 = extract_chains(
+                trace3, treal, res["inter_idx"]
+            )
+            lmax2 = min(Tc, _round_up_pow2(max(int(np.asarray(dl2).max()), 64)))
+            if dr2.dtype == jnp.float32:
+                arr2 = np.asarray(_slice_stack_f32(dn2, dp2, dr2, lmax2))
+                packed2 = arr2[1]
+                reals2 = arr2[2].view(np.float32).astype(np.float64)
+            else:
+                packed2 = np.asarray(dp2[:, :lmax2])
+                reals2 = np.asarray(dr2[:, :lmax2], np.float64)
+            full2, ends2, n2, best2 = _chain_strings(packed2, reals2)
+            plain_i = [
+                full2[r][: ends2[r, best2[r]]] if n2[r] else b""
+                for r in range(packed2.shape[0])
+            ]
         contigs = []
+        if self.debug_hook is not None:
+            for i, sd in enumerate(seeds):
+                for d, j, cache, ce_d in (
+                    ("f", i, self.cache_f, ce_f),
+                    ("r", S + i, self.cache_r, ce_r),
+                ):
+                    self.debug_hook(
+                        seed=sd, dir=d, hit=int(ce_d[i]),
+                        nodes=nodes[j], packed=packed[j], reals=reals[j],
+                        full=full[j], ends=ends[j], n=int(n_arr[j]),
+                        best=int(best[j]), cache=cache,
+                    )
         for i, (nucl, _) in enumerate(seeds):
+            start_len = len(nucl) // 3
             if self.cache_f and ce_f[i] >= 0:
                 right = self.cache_f.compose(
                     reals[i], full[i], ends[i], int(n_arr[i]), int(best[i]),
-                    int(ce_f[i]),
+                    int(ce_f[i]), float(inter_pre[i]),
+                    start_len + len(full[i]) // 3,
                 )
+                if right is None:  # pre-hit inter goal won: own chain
+                    right = plain_i[i]
             else:
                 right = plain[i]
                 if self.cache_f is not None and fin_f[i]:
@@ -668,8 +814,11 @@ class BatchSearcher:
             if self.cache_r and ce_r[i] >= 0:
                 left = self.cache_r.compose(
                     reals[j], full[j], ends[j], int(n_arr[j]), int(best[j]),
-                    int(ce_r[i]),
+                    int(ce_r[i]), float(inter_pre[j]),
+                    start_len + len(full[j]) // 3,
                 )
+                if left is None:
+                    left = plain_i[j]
             else:
                 left = plain[j]
                 if self.cache_r is not None and fin_r[i]:

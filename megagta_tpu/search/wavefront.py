@@ -1110,10 +1110,16 @@ def wavefront_search_merged(
         # packed copies of the small outputs: on a tunneled TPU every
         # host fetch pays a ~30 ms round trip, so the runner reads ONE
         # [S, 4] row block + ONE scalar triple instead of seven arrays
+        # col 6 = the seed's inter-goal VALUE (real + exit_prob at the best
+        # node popped so far), f32-bitcast — compose replays the
+        # reference's exit-prob acceptance against the cached walk
         "meta": jnp.stack(
             [
                 goal_idx, inter_idx, cached_entry, cached_at,
                 active.astype(jnp.int32), overflow.astype(jnp.int32),
+                jax.lax.bitcast_convert_type(
+                    inter_val.astype(jnp.float32), jnp.int32
+                ),
             ],
             1,
         ),

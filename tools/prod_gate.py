@@ -47,3 +47,14 @@ ours = bench.measure_ours(meta, dbg, ref_seeds, chunk=chunk)
 contigs = ours.pop("_contigs")
 gate = bench.gate_contigs(contigs, ref_contigs)
 print(json.dumps({**ours, **gate, "chunk": chunk}, default=str))
+dump = os.environ.get("DUMP_MISMATCH")
+if dump:
+    with open(dump, "w") as f:
+        for i, (a, b) in enumerate(zip(contigs, ref_contigs)):
+            if b is not None and a.upper() != b:
+                json.dump(
+                    {"i": i, "seed": ref_seeds[i], "ours": a.upper(),
+                     "ref": b},
+                    f,
+                )
+                f.write("\n")
