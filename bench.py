@@ -131,13 +131,17 @@ def measure_ours(meta, dbg, seeds, chunk=512):
     rev = parse_hmm(meta["reverse_hmm"])
     on_tpu = jax.default_backend() == "tpu"
 
+    pool = int(os.environ.get("BENCH_POOL", 1 << 12))
+    thresh = int(os.environ.get("BENCH_THRESH", 0))
+    bwidth = int(os.environ.get("BENCH_B", 8))
+
     def make_bs():
-        return BatchSearcher(
+        bs = BatchSearcher(
             dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
             WavefrontConfig(
-                pool_size=1 << 12,
+                pool_size=pool,
                 max_steps=1 << 11,
-                expand_width=8,
+                expand_width=bwidth,
                 use_cache=True,  # the reference's own term-node memo
                 # (hmm_graph_search.h:211-234) is what makes it fast;
                 # our deterministic equivalent is measured the same way
@@ -147,6 +151,9 @@ def measure_ours(meta, dbg, seeds, chunk=512):
             dtype=jnp.float32,
             chunk=chunk,
         )
+        if thresh:
+            bs.main_thresh = thresh
+        return bs
 
     # warm-up / compile (all three ladder shapes; warmup restores cache
     # state so the timed run below starts cold)

@@ -208,8 +208,10 @@ class _PathCache:
         """Pin resolution to the entries visible to THIS batch's device
         probe table: stitched walks ignore entries harvested mid-batch
         (the reference's serial memo has no such window; our batch
-        equivalent is chunk-granularity, like its parallel threads)."""
-        self._res.clear()
+        equivalent is chunk-granularity, like its parallel threads).
+        Memoized walks persist across batches — each carries its ending
+        identity, and a walk whose end has since gained a key is spliced
+        with the extension instead of rebuilt."""
         self.limit = len(self.emis)
 
     @property
@@ -265,34 +267,73 @@ class _PathCache:
             self.child_key.append((ca, cb))
             self._insert(a, b, idx)
 
-    def walk(self, entry_idx: int):
+    def _next(self, idx: int) -> int | None:
+        nxt = self.key2idx.get(self.child_key[idx])
+        if nxt is not None and nxt >= self.limit:
+            return None  # harvested mid-batch: invisible to this batch
+        return nxt
+
+    def walk(self, entry_idx: int, depth: int = 0):
         """Stitched walk arrays from this entry's parent: (suffix bytes,
         per-node cumulative real delta [W], codon-length delta [W], byte
-        offset past each node [W]). Memoized per hit entry; a stitched
-        cycle (possible only through insert-state loops across donors) or
-        an unreasonably long walk is cut at the last resolved node."""
-        hit = self._res.get(entry_idx)
-        if hit is not None:
-            return hit
-        emis_l, dc_l = [], []
+        offset past each node [W], ending entry idx). Memoized at every
+        16th chain position with suffix sharing; a memo whose ending node
+        has since gained a key (a later donor extended the region) is
+        spliced with the extension. A stitched cycle (possible only
+        through insert-state loops across donors) or an unreasonably long
+        walk is cut at the last resolved node."""
+        res = self._res
+        got = res.get(entry_idx)
+        if got is not None:
+            nxt = self._next(got[4])
+            if nxt is None or depth > 64:
+                return got
+            ext = self.walk(nxt, depth + 1)  # extend a stale memo
+            sfx, dv, dl, bo, _ = got
+            out = (
+                sfx + ext[0],
+                np.concatenate([dv, dv[-1] + ext[1]]),
+                np.concatenate([dl, dl[-1] + ext[2]]),
+                np.concatenate([bo, bo[-1] + ext[3]]),
+                ext[4],
+            )
+            res[entry_idx] = out
+            return out
+        chain: list[int] = []
         on_path: set[int] = set()
         idx: int | None = entry_idx
-        while idx is not None and idx not in on_path and len(on_path) < 65536:
+        while (
+            idx is not None
+            and idx not in res
+            and idx not in on_path
+            and len(chain) < 65536
+        ):
+            chain.append(idx)
             on_path.add(idx)
-            emis_l.append(self.emis[idx])
-            dc_l.append(self.dc[idx])
-            idx = self.key2idx.get(self.child_key[idx])
-            if idx is not None and idx >= self.limit:
-                idx = None  # harvested mid-batch: invisible to this batch
-        el = np.array([len(e) for e in emis_l], np.int64)
-        out = (
-            b"".join(emis_l),
-            np.cumsum(np.array(dc_l, np.float64)),
-            np.cumsum(el // 3),
-            np.cumsum(el),
-        )
-        self._res[entry_idx] = out
-        return out
+            idx = self._next(idx)
+        tail = self.walk(idx, depth + 1) if idx is not None else None
+        for pos in range(len(chain) - 1, -1, -1):
+            i = chain[pos]
+            e, dc = self.emis[i], self.dc[i]
+            el = len(e)
+            if tail is None:
+                cur = (
+                    e, np.array([dc]), np.array([el // 3], np.int64),
+                    np.array([el], np.int64), i,
+                )
+            else:
+                sfx, dv, dl, bo, end = tail
+                cur = (
+                    e + sfx,
+                    np.concatenate([[dc], dc + dv]),
+                    np.concatenate([[el // 3], el // 3 + dl]),
+                    np.concatenate([[el], el + bo]),
+                    end,
+                )
+            if pos == 0 or (pos & 15) == 0:
+                res[i] = cur
+            tail = cur
+        return tail
 
     def compose(
         self,
@@ -316,7 +357,7 @@ class _PathCache:
         would end."""
         if n == 0:
             return b""
-        sfx, dv, dl, bo = self.walk(entry_idx)
+        sfx, dv, dl, bo, _ = self.walk(entry_idx)
         v = float(reals_row[0]) + dv  # walk nodes' real scores
         lens = np.minimum(len_hit + dl, 2999).astype(np.float64)
         x = v + 2.0 * np.log(2.0 / (lens + 2.0))
@@ -333,17 +374,18 @@ class _PathCache:
         return full[: ends_row[best]]
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnums=(1,))
-def _cache_scatter(tab, d, buckets, slots, na, nb, nv):
+@partial(jax.jit, donate_argnums=(0,))
+def _cache_scatter(tab, upd):
     """Scatter new cache entries into the persistent device bucket table.
 
-    tab: [2*HB, 16] direction-major. Out-of-range buckets (the padding)
-    are dropped."""
-    HB = tab.shape[0] // 2
-    rows = jnp.where(buckets < HB, d * HB + buckets, 2 * HB)
-    tab = tab.at[rows, slots].set(na, mode="drop")
-    tab = tab.at[rows, slots + 4].set(nb, mode="drop")
-    tab = tab.at[rows, slots + 8].set(nv, mode="drop")
+    tab: [2*HB, 16] direction-major; upd: [N, 5] int32 rows of
+    (direction-major row, slot, key a, key b, entry idx) riding ONE
+    host->device transfer (each transfer pays ~100 ms of tunnel latency).
+    Out-of-range rows (the padding) are dropped."""
+    rows, slots = upd[:, 0], upd[:, 1]
+    tab = tab.at[rows, slots].set(upd[:, 2], mode="drop")
+    tab = tab.at[rows, slots + 4].set(upd[:, 3], mode="drop")
+    tab = tab.at[rows, slots + 8].set(upd[:, 4], mode="drop")
     return tab
 
 
@@ -352,6 +394,16 @@ _RC_TABLE = bytes.maketrans(b"acgt-", b"tgca-")
 
 def _round_up_pow2(x: int) -> int:
     return 1 << max(0, (x - 1).bit_length())
+
+
+@jax.jit
+def _pack_meta(meta, dlens, scal):
+    """[2S, 7] meta + chain lengths + the scalar triple in ONE downloadable
+    block ([2S+1, 8] int32): every separate device->host fetch pays the
+    tunnel's ~100 ms round trip."""
+    m = jnp.concatenate([meta, dlens[:, None]], axis=1)
+    srow = jnp.zeros((1, m.shape[1]), jnp.int32).at[0, :3].set(scal)
+    return jnp.concatenate([m, srow], axis=0)
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -455,6 +507,7 @@ class BatchSearcher:
         self.cache_f = _PathCache() if self.config.use_cache else None
         self.cache_r = _PathCache() if self.config.use_cache else None
         self._dev_cache = None
+        self._starts_cache: dict = {}
         if self.mesh is not None:
             n = self.mesh.devices.size
             if self.chunk % n:
@@ -474,28 +527,34 @@ class BatchSearcher:
         return jax.device_put(arr, NamedSharding(self.mesh, P(axis)))
 
     def _cache_tables(self):
-        """Persistent device table, updated by scattering pending entries."""
+        """Persistent device table, updated by scattering both directions'
+        pending entries in ONE padded upload."""
         HB = self.cache_f.HB
         self.cache_f.begin_batch()
         self.cache_r.begin_batch()
         if self._dev_cache is None:
             self._dev_cache = jnp.full((2 * HB, 16), -1, jnp.int32)
+        n = len(self.cache_f.pending) + len(self.cache_r.pending)
+        if not n:
+            return self._dev_cache
+        # ONE constant upload shape: a fresh pow2 pad per batch would
+        # compile a new _cache_scatter executable mid-run (~0.5 s each on
+        # the tunneled TPU); oversized batches loop in fixed slices
+        PAD = 1 << 16
+        upd = np.full((((n - 1) // PAD + 1) * PAD, 5), 2 * HB, np.int64)
+        row = 0
         for d, cache in ((0, self.cache_f), (1, self.cache_r)):
-            if not cache.pending:
-                continue
-            n = len(cache.pending)
-            pad = 1 << max(6, (n - 1).bit_length())
-            upd = np.full((pad, 5), HB, np.int64)  # bucket HB = dropped
-            upd[:n] = cache.pending
-            cache.pending = []
+            if cache.pending:
+                arr = np.asarray(cache.pending, np.int64)
+                m = len(arr)
+                upd[row : row + m, 0] = d * HB + arr[:, 0]
+                upd[row : row + m, 1] = arr[:, 1] % 4
+                upd[row : row + m, 2:5] = arr[:, 2:5]
+                row += m
+                cache.pending = []
+        for s in range(0, len(upd), PAD):
             self._dev_cache = _cache_scatter(
-                self._dev_cache,
-                d,
-                jnp.asarray(upd[:, 0], jnp.int32),
-                jnp.asarray(upd[:, 1] % 4, jnp.int32),
-                jnp.asarray(upd[:, 2], jnp.int32),
-                jnp.asarray(upd[:, 3], jnp.int32),
-                jnp.asarray(upd[:, 4], jnp.int32),
+                self._dev_cache, jnp.asarray(upd[s : s + PAD], jnp.int32)
             )
         return self._dev_cache
 
@@ -510,51 +569,89 @@ class BatchSearcher:
         results: dict[int, str] = {}
         order = list(range(len(seeds)))
         # round 1: full-width chunks, adaptive early stop + hard cap
-        deferred: list[int] = []
-        for i in range(0, len(seeds), self.chunk):
-            deferred.extend(
-                self._run_chunk(
-                    seeds, order[i : i + self.chunk], results, self.cfg_main,
-                    limit=None, width=self.chunk,
-                    act_thresh=self.main_thresh,
-                )
-            )
+        deferred = self._run_round(
+            seeds, order, results, self.cfg_main, self.chunk,
+            act_thresh=self.main_thresh,
+        )
         self.last_stats["deferred"] = len(deferred)
-        # round 1.5: re-run deferrals at the SAME config once — the first
-        # chunks ran on a cold path cache and defer most of their seeds;
-        # by now the cache is hot and the bulk short-circuit in a few
-        # steps, leaving only true stragglers for the deep tier
-        if len(deferred) > self.deep_chunk:
-            again: list[int] = []
-            for i in range(0, len(deferred), self.chunk):
-                again.extend(
-                    self._run_chunk(
-                        seeds, deferred[i : i + self.chunk], results,
-                        self.cfg_main, limit=None, width=self.chunk,
-                        act_thresh=self.main_thresh,
-                    )
-                )
-            deferred = again
+        # rounds 1.5+: re-run deferrals at the SAME config while progress
+        # holds — early chunks ran on a colder path cache and defer most
+        # of their seeds; each pass the cache is hotter and the bulk
+        # short-circuit in a few steps, leaving true stragglers for the
+        # deep tier. Idle-row lockstep steps are the dominant waste, so
+        # stopping chunks early and re-running survivors beats running
+        # every chunk to quiescence.
+        passes = 0
+        while len(deferred) > self.deep_chunk and passes < 4:
+            nxt = self._run_round(
+                seeds, deferred, results, self.cfg_main, self.chunk,
+                act_thresh=self.main_thresh,
+            )
+            passes += 1
+            if len(nxt) > 0.7 * len(deferred):
+                deferred = nxt
+                break  # no longer converging: escalate the rest
+            deferred = nxt
         self.last_stats["stragglers"] = len(deferred)
         # round 2: deep re-runs, narrow width, bigger pool, uncapped
         dw = min(self.deep_chunk, self.chunk)
-        escalated: list[int] = []
-        for i in range(0, len(deferred), dw):
-            escalated.extend(
-                self._run_chunk(
-                    seeds, deferred[i : i + dw], results, self.cfg_deep,
-                    limit=None, width=dw,
-                )
-            )
+        escalated = self._run_round(
+            seeds, deferred, results, self.cfg_deep, dw
+        )
         self.last_stats["escalated"] = len(escalated)
         # round 3: exact re-runs for anything still capped/overflowed
         ew = min(self.exact_chunk, dw)
-        for i in range(0, len(escalated), ew):
-            self._run_chunk(
-                seeds, escalated[i : i + ew], results, self.cfg_exact,
-                limit=None, width=ew, final=True,
-            )
+        self._run_round(
+            seeds, escalated, results, self.cfg_exact, ew, final=True
+        )
         return [results[i] for i in range(len(seeds))]
+
+    def _run_round(self, seeds, idx_list, results, cfg, width,
+                   act_thresh=0, final=False):
+        """One escalation round, PIPELINED: chunk i+1's device run is
+        dispatched before chunk i's results are downloaded, hiding the
+        tunnel's transfer latency and the host-side compose/harvest under
+        device compute. Chunk i+1 therefore probes the cache state from
+        chunk i-1 — a one-chunk lag the reference's parallel threads have
+        too, and results stay reference-exact either way (a missed hit
+        just means the seed completes its own search)."""
+        deferred: list[int] = []
+        prev = None
+        for i in range(0, len(idx_list), width):
+            idxs = idx_list[i : i + width]
+            cur = (
+                idxs,
+                self._dispatch_chunk(
+                    [seeds[j] for j in idxs], cfg, None, width, act_thresh
+                ),
+            )
+            if prev is not None:
+                deferred.extend(
+                    self._record(
+                        prev[0], self._finish_chunk(prev[1]), results, final
+                    )
+                )
+            prev = cur
+        if prev is not None:
+            deferred.extend(
+                self._record(
+                    prev[0], self._finish_chunk(prev[1]), results, final
+                )
+            )
+        return deferred
+
+    def _record(self, idxs, out, results, final):
+        contigs, still_active, overflowed = out
+        deferred = []
+        for j, i in enumerate(idxs):
+            bad = still_active[j] or overflowed[j]
+            if bad and not final:
+                deferred.append(i)
+            else:
+                results[i] = contigs[j]
+                if bad:
+                    self.last_stats["overflow"] += 1
+        return deferred
 
     def warmup(self, seeds: list[tuple[str, int]]):
         """Compile all three ladder shapes (one tiny search each) so a
@@ -586,23 +683,12 @@ class BatchSearcher:
 
     def _run_chunk(self, all_seeds, idxs, results, cfg, limit, width,
                    act_thresh=0, final=False):
-        """Search the seeds at `idxs` under `cfg`; record contigs in
-        `results`; return the indices needing escalation (still active at
-        the stop condition, or pool-overflowed). `final=True` records
-        everything and counts residual overflow instead of escalating."""
-        contigs, still_active, overflowed = self._search_chunk(
+        """Unpipelined single chunk (warmup): search, record, return the
+        indices needing escalation."""
+        out = self._search_chunk(
             [all_seeds[i] for i in idxs], cfg, limit, width, act_thresh
         )
-        deferred = []
-        for j, i in enumerate(idxs):
-            bad = still_active[j] or overflowed[j]
-            if bad and not final:
-                deferred.append(i)
-            else:
-                results[i] = contigs[j]
-                if bad:
-                    self.last_stats["overflow"] += 1
-        return deferred
+        return self._record(idxs, out, results, final)
 
     def _build_starts(self, seeds: list[tuple[str, int]], S: int):
         si_f = np.zeros((S, 8), np.int32)
@@ -613,25 +699,49 @@ class BatchSearcher:
         si_r[:, 0] = -1
         si_f[:, 6] = -1  # padding parent: root (traceback terminator)
         si_r[:, 6] = -1
-        node_f, node_r, groups = _batch_lookup(self.dbg, seeds)
+        # escalation re-runs re-search the same seeds; memoize the host
+        # edge lookups + start scoring per seed (one dict hit per re-run)
+        sc = self._starts_cache
+        missing = [i for i, s in enumerate(seeds) if s not in sc]
+        for i, s in enumerate(seeds):
+            if s in sc:
+                si_f[i], sf_f[i], si_r[i], sf_r[i] = sc[s]
+        if not missing:
+            return si_f, sf_f, si_r, sf_r
+        sub = [seeds[i] for i in missing]
+        node_f, node_r, groups = _batch_lookup(self.dbg, sub)
         divisor = 3 if self.fwd_hmm.alphabet == PROTEIN else 1
-        ss_all = np.array([ss for _, ss in seeds], np.int64)
+        ss_all = np.array([ss for _, ss in sub], np.int64)
         Lr = self.rev_hmm.model_length
+        midx = np.asarray(missing)
         for idxs, fw in groups:
             ss = ss_all[idxs]
             ints, floats = _make_starts(
                 self.fwd_hmm, fw, ss, node_f[idxs], True
             )
-            si_f[idxs], sf_f[idxs] = ints, floats
+            si_f[midx[idxs]], sf_f[midx[idxs]] = ints, floats
             l_start = Lr - ss - fw.shape[1] // divisor
             ints, floats = _make_starts(
                 self.rev_hmm, fw, l_start, node_r[idxs], False
             )
-            si_r[idxs], sf_r[idxs] = ints, floats
+            si_r[midx[idxs]], sf_r[midx[idxs]] = ints, floats
+        for i in missing:
+            sc[seeds[i]] = (
+                si_f[i].copy(), sf_f[i].copy(),
+                si_r[i].copy(), sf_r[i].copy(),
+            )
         return si_f, sf_f, si_r, sf_r
 
     def _search_chunk(self, seeds, cfg=None, step_limit=None, width=None,
                       act_thresh=0):
+        """Dispatch + finish in one call (warmup and tests; the search
+        rounds pipeline the two halves across chunks)."""
+        return self._finish_chunk(
+            self._dispatch_chunk(seeds, cfg, step_limit, width, act_thresh)
+        )
+
+    def _dispatch_chunk(self, seeds, cfg=None, step_limit=None, width=None,
+                        act_thresh=0):
         cfg = cfg or self.config
         S = width or self.chunk
         B = cfg.expand_width
@@ -695,43 +805,56 @@ class BatchSearcher:
                 for k in rf
             }
 
-        # ---- fetch 1: the scalar triple (steps, expansions, overflow);
-        # overflow is tracked per SEED from the meta block (a seed's
-        # recorded run must be overflow-free; escalation re-runs it)
-        scal = np.asarray(res["scal"])
-        steps = int(scal[0])
-        self.last_stats["steps"] += steps
-        self.last_stats["expansions"] += int(scal[1])
-
         # ---- device traceback over the full (static) trace arena: the
         # arena is sized per ladder tier (main = defer_steps), so the
         # extract compiles ONCE per tier instead of per pow2 length bucket
         # (a mid-run bucket compile cost ~14 s on the tunneled TPU)
-        Tc = res["trace3"].shape[2]
-        trace3 = res["trace3"]
-        treal = res["treal"]
         start_idx = jnp.where(
             res["cached_at"] >= 0, res["cached_at"], res["inter_idx"]
         )
-        dnodes, dpacked, dreals, dlens = extract_chains(trace3, treal, start_idx)
-
-        # ---- fetch 2: per-seed meta block + chain lengths
-        meta = np.asarray(
-            jnp.concatenate([res["meta"], dlens[:, None]], axis=1)
+        dnodes, dpacked, dreals, dlens = extract_chains(
+            res["trace3"], res["treal"], start_idx
         )
-        inter_pre = meta[:, 6].view(np.float32).astype(np.float64)
-        # pow2 bucket so the slice+stack jit compiles only a few shapes
-        lmax = min(Tc, _round_up_pow2(max(int(meta[:, 7].max()), 64)))
-
-        # ---- fetch 3: the chains, one stacked transfer
+        ctx = {
+            "seeds": seeds, "S": S, "res": res,
+            "chains": (dnodes, dpacked, dreals),
+            "meta_dev": _pack_meta(res["meta"], dlens, res["scal"]),
+        }
         if dreals.dtype == jnp.float32:
-            arr = np.asarray(_slice_stack_f32(dnodes, dpacked, dreals, lmax))
+            # chain length <= steps + 1, and steps are capped per ladder
+            # tier, so the transfer slice is STATIC — the slice runs at
+            # dispatch time and the download overlaps the next chunk's
+            # device compute instead of waiting on a meta round trip
+            Tc = res["trace3"].shape[2]
+            lmax = min(Tc, _round_up_pow2(cfg.max_steps + 2))
+            ctx["arr_dev"] = _slice_stack_f32(dnodes, dpacked, dreals, lmax)
+        return ctx
+
+    def _finish_chunk(self, ctx):
+        seeds = ctx["seeds"]
+        S = ctx["S"]
+        res = ctx["res"]
+        dnodes, dpacked, dreals = ctx["chains"]
+        trace3, treal = res["trace3"], res["treal"]
+        Tc = trace3.shape[2]
+
+        # ---- the single download round: meta block (+ chain lengths +
+        # scalars) and the pre-sliced chain planes together
+        if "arr_dev" in ctx:
+            mblk, arr = jax.device_get((ctx["meta_dev"], ctx["arr_dev"]))
             nodes, packed = arr[0], arr[1]
             reals = arr[2].view(np.float32).astype(np.float64)
+            meta, scal = mblk[:-1], mblk[-1]
         else:  # float64 exactness mode (CPU tests)
+            mblk = np.asarray(ctx["meta_dev"])
+            meta, scal = mblk[:-1], mblk[-1]
+            lmax = min(Tc, _round_up_pow2(max(int(meta[:, 7].max()), 64)))
             nodes = np.asarray(dnodes[:, :lmax])
             packed = np.asarray(dpacked[:, :lmax])
             reals = np.asarray(dreals[:, :lmax], np.float64)
+        self.last_stats["steps"] += int(scal[0])
+        self.last_stats["expansions"] += int(scal[1])
+        inter_pre = meta[:, 6].view(np.float32).astype(np.float64)
 
         ce = meta[:, 2]
         act = meta[:, 4] != 0
@@ -758,16 +881,17 @@ class BatchSearcher:
             for r in range(packed.shape[0])
         ]
 
-        # compose fallback data: when a hit seed's PRE-HIT inter goal beats
-        # every walked node, the reference's result is the seed's own
-        # inter-goal chain — extract it separately for the hit rows
-        plain_i = plain
-        any_hit = bool((ce >= 0).any())
-        if any_hit and (meta[:, 3] >= 0).any():
+        def inter_chain_contigs():
+            """When a hit seed's PRE-HIT inter goal beats every walked
+            node, the reference's result is the seed's own inter-goal
+            chain — extracted LAZILY (the fallback fires rarely; the
+            extra traceback + transfer would otherwise tax every chunk)."""
             dn2, dp2, dr2, dl2 = extract_chains(
                 trace3, treal, res["inter_idx"]
             )
-            lmax2 = min(Tc, _round_up_pow2(max(int(np.asarray(dl2).max()), 64)))
+            lmax2 = min(
+                Tc, _round_up_pow2(max(int(np.asarray(dl2).max()), 64))
+            )
             if dr2.dtype == jnp.float32:
                 arr2 = np.asarray(_slice_stack_f32(dn2, dp2, dr2, lmax2))
                 packed2 = arr2[1]
@@ -776,7 +900,7 @@ class BatchSearcher:
                 packed2 = np.asarray(dp2[:, :lmax2])
                 reals2 = np.asarray(dr2[:, :lmax2], np.float64)
             full2, ends2, n2, best2 = _chain_strings(packed2, reals2)
-            plain_i = [
+            return [
                 full2[r][: ends2[r, best2[r]]] if n2[r] else b""
                 for r in range(packed2.shape[0])
             ]
@@ -793,42 +917,38 @@ class BatchSearcher:
                         full=full[j], ends=ends[j], n=int(n_arr[j]),
                         best=int(best[j]), cache=cache,
                     )
+        sides: list = [None] * (2 * S)
+        fallback_rows: list[int] = []
         for i, (nucl, _) in enumerate(seeds):
             start_len = len(nucl) // 3
-            if self.cache_f and ce_f[i] >= 0:
-                right = self.cache_f.compose(
-                    reals[i], full[i], ends[i], int(n_arr[i]), int(best[i]),
-                    int(ce_f[i]), float(inter_pre[i]),
-                    start_len + len(full[i]) // 3,
-                )
-                if right is None:  # pre-hit inter goal won: own chain
-                    right = plain_i[i]
-            else:
-                right = plain[i]
-                if self.cache_f is not None and fin_f[i]:
-                    self.cache_f.harvest(
-                        nodes[i], packed[i], reals[i],
-                        full[i], ends[i], int(n_arr[i]), int(best[i]),
+            for cache, ce_d, fin_d, j in (
+                (self.cache_f, ce_f, fin_f, i),
+                (self.cache_r, ce_r, fin_r, S + i),
+            ):
+                if cache and ce_d[i] >= 0:
+                    side = cache.compose(
+                        reals[j], full[j], ends[j], int(n_arr[j]),
+                        int(best[j]), int(ce_d[i]), float(inter_pre[j]),
+                        start_len + len(full[j]) // 3,
                     )
-            j = S + i
-            if self.cache_r and ce_r[i] >= 0:
-                left = self.cache_r.compose(
-                    reals[j], full[j], ends[j], int(n_arr[j]), int(best[j]),
-                    int(ce_r[i]), float(inter_pre[j]),
-                    start_len + len(full[j]) // 3,
-                )
-                if left is None:
-                    left = plain_i[j]
-            else:
-                left = plain[j]
-                if self.cache_r is not None and fin_r[i]:
-                    self.cache_r.harvest(
-                        nodes[j], packed[j], reals[j],
-                        full[j], ends[j], int(n_arr[j]), int(best[j]),
-                    )
-            left_rc = left.translate(_RC_TABLE)[::-1]
+                    if side is None:  # pre-hit inter goal won: own chain
+                        fallback_rows.append(j)
+                else:
+                    side = plain[j]
+                    if cache is not None and fin_d[i]:
+                        cache.harvest(
+                            nodes[j], packed[j], reals[j],
+                            full[j], ends[j], int(n_arr[j]), int(best[j]),
+                        )
+                sides[j] = side
+        if fallback_rows:
+            plain_i = inter_chain_contigs()
+            for j in fallback_rows:
+                sides[j] = plain_i[j]
+        for i, (nucl, _) in enumerate(seeds):
+            left_rc = sides[S + i].translate(_RC_TABLE)[::-1]
             contigs.append(
-                left_rc.decode() + nucl.lower() + right.decode()
+                left_rc.decode() + nucl.lower() + sides[i].decode()
             )
         self.last_stats["cache_hits"] = self.last_stats.get("cache_hits", 0) + int(
             (ce_f >= 0).sum() + (ce_r >= 0).sum()

@@ -43,30 +43,42 @@ def make_bs(chunk=512):
 bs = make_bs()
 bs.warmup(seeds)  # compile all ladder shapes; cache state restored
 
-orig = bs._search_chunk
+orig_d = bs._dispatch_chunk
+orig_f = bs._finish_chunk
 log = []
 
 
-def timed(seed_chunk, cfg=None, step_limit=None, width=None, act_thresh=0):
+def timed_d(seed_chunk, cfg=None, step_limit=None, width=None, act_thresh=0):
+    t0 = time.perf_counter()
+    ctx = orig_d(seed_chunk, cfg, step_limit, width, act_thresh)
+    ctx["_n"] = len(seed_chunk)
+    ctx["_pool"] = (cfg or bs.config).pool_size
+    ctx["_thresh"] = act_thresh
+    ctx["_t_disp"] = time.perf_counter() - t0
+    return ctx
+
+
+def timed_f(ctx):
     s0 = dict(bs.last_stats)
     t0 = time.perf_counter()
-    out = orig(seed_chunk, cfg, step_limit, width, act_thresh)
+    out = orig_f(ctx)
     dt = time.perf_counter() - t0
     log.append({
-        "n": len(seed_chunk),
-        "limit": step_limit,
-        "thresh": act_thresh,
-        "pool": (cfg or bs.config).pool_size,
+        "n": ctx["_n"],
+        "thresh": ctx["_thresh"],
+        "pool": ctx["_pool"],
         "steps": bs.last_stats["steps"] - s0.get("steps", 0),
         "exp": bs.last_stats["expansions"] - s0.get("expansions", 0),
-        "wall": round(dt, 3),
+        "disp": round(ctx["_t_disp"], 3),
+        "finish": round(dt, 3),
         "active_left": int(out[1].sum()),
         "ovf": int(out[2].sum()),
     })
     return out
 
 
-bs._search_chunk = timed
+bs._dispatch_chunk = timed_d
+bs._finish_chunk = timed_f
 t0 = time.perf_counter()
 bs.search(seeds)
 wall = time.perf_counter() - t0
