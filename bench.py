@@ -133,7 +133,7 @@ def measure_ours(meta, dbg, seeds, chunk=512):
 
     pool = int(os.environ.get("BENCH_POOL", 1 << 12))
     thresh = int(os.environ.get("BENCH_THRESH", 0))
-    bwidth = int(os.environ.get("BENCH_B", 8))
+    bwidth = int(os.environ.get("BENCH_B", 16))
 
     def make_bs():
         bs = BatchSearcher(

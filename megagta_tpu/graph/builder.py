@@ -127,6 +127,8 @@ def edges_from_reads_streaming(
     min_count: int = 1,
     batch_reads: int = 4_000_000,
     engine: str = "host",
+    solid_mask: np.ndarray | None = None,
+    num_assist: int = 0,
 ):
     """RAM-bounded counting: reads stream through window extraction in
     batches (the reference's 4M-read ingestion batches + RAM-budgeted CX1
@@ -137,16 +139,34 @@ def edges_from_reads_streaming(
     accelerator (graph/device_builder phase 1)."""
     acc_k = None
     acc_m = None
+    win_base = None
+    if solid_mask is not None:
+        nwin = np.maximum(package.lengths - k, 0)
+        win_base = np.concatenate([[0], np.cumsum(nwin)])
     for lo in range(0, package.num_reads, batch_reads):
-        sub = package.read_slice(lo, min(lo + batch_reads, package.num_reads))
+        hi = min(lo + batch_reads, package.num_reads)
+        sub = package.read_slice(lo, hi)
+        sub_mask = None
+        sub_assist = 0
+        if solid_mask is not None:
+            sub_mask = solid_mask[win_base[lo] : win_base[hi]]
+            n_short = package.num_reads - num_assist
+            sub_assist = max(0, hi - max(lo, n_short))
         if engine == "device":
             import jax.numpy as jnp
 
-            from .device_builder import _phase1
+            from .device_builder import _padded_window_mask, _phase1
 
             padded, lens = sub.padded()
+            wm = None
+            if sub_mask is not None:
+                wm = jnp.asarray(
+                    _padded_window_mask(
+                        sub, k + 1, padded.shape[1] - k, sub_mask, sub_assist
+                    )
+                )
             keys, mult_d, n_edges_d = _phase1(
-                jnp.asarray(padded), jnp.asarray(lens), k + 1, 1
+                jnp.asarray(padded), jnp.asarray(lens), k + 1, 1, wm
             )
             n = int(n_edges_d)
             kk = np.asarray(keys[:n])  # [n, 3] uint32 big-endian 96-bit
@@ -161,7 +181,9 @@ def edges_from_reads_streaming(
             bk[:, 1] = kk[:, 2].astype(np.uint64) << np.uint64(32)
             bk = bk[:, : kmer_words(k + 1)]
         else:
-            edges, bm = edges_from_reads(sub, k, 1)
+            edges, bm = edges_from_reads(
+                sub, k, 1, solid_mask=sub_mask, num_assist=sub_assist
+            )
             bk = pack_kmers(edges, k + 1)
         if acc_k is None:
             acc_k, acc_m = bk, bm
@@ -169,7 +191,8 @@ def edges_from_reads_streaming(
             acc_k, acc_m = _merge_runs(acc_k, acc_m, bk, bm)
     if acc_k is None:
         return np.zeros((0, k + 1), np.int8), np.zeros(0, np.int32)
-    if min_count > 1:
+    if min_count > 1 and solid_mask is None:
+        # a solid mask already encodes solidity (edges_from_reads:103)
         keep = acc_m >= min_count
         acc_k, acc_m = acc_k[keep], acc_m[keep]
     from ..ops.dna import unpack_kmers

@@ -71,12 +71,15 @@ def _seg_scan_or(vals, starts, reverse: bool = False):
 
 
 @partial(jax.jit, static_argnames=("k1", "min_count"))
-def _phase1(padded, lengths, k1: int, min_count: int):
+def _phase1(padded, lengths, k1: int, min_count: int, window_mask=None):
     """Occurrence sort + run-length encode + edge compaction.
 
+    window_mask: optional [R, P] bool of solid windows (mercy); when set,
+    only masked windows count and the min_count filter is the CALLER's
+    responsibility (the mask already encodes solidity, builder.py:103).
     Returns (keys [M, 3] uint32 with distinct edges first, mult [M] int32,
     n_edges [] int32)."""
-    sk, boundary, valid = counted_kmers(padded, lengths, k1)
+    sk, boundary, valid = counted_kmers(padded, lengths, k1, window_mask)
     M = sk.shape[0]
     idx = jnp.arange(M, dtype=jnp.int32)
     # next boundary at or after i+1 (suffix min of boundary positions)
@@ -249,9 +252,11 @@ def _unpack_node_words(words: np.ndarray, n_chars: int) -> np.ndarray:
 
 def device_build_supported(min_count: int, solid_mask, num_assist: int) -> bool:
     """The device path covers the production kmin-1pass configuration
-    (megagta.py:274-276); mercy-marked and assist-read builds fall back to
-    the host oracle."""
-    return solid_mask is None and num_assist == 0
+    (megagta.py:274-276) and, since r4, mercy builds via a window solid
+    mask (the mask derivation streams on the host; counting/BOSS run on
+    device). Assist reads ride the mask too (always-solid rows)."""
+    del solid_mask, num_assist
+    return True
 
 
 def _round_up_pow2(x: int) -> int:
@@ -296,11 +301,33 @@ def sdbg_from_phase2(res: dict, k: int) -> SdBG:
     ).finalize()
 
 
+def _padded_window_mask(
+    package: ReadPackage, k1: int, P: int,
+    solid_mask: np.ndarray, num_assist: int,
+) -> np.ndarray:
+    """Flat per-window solid mask (sliding_windows order: read-major,
+    offset-minor) -> the padded [R, P] layout device phase 1 consumes.
+    Assist reads (trailing rows) are always solid (s2 :276)."""
+    lens = package.lengths
+    R = package.num_reads
+    nwin = np.maximum(lens - k1 + 1, 0)
+    base = np.concatenate([[0], np.cumsum(nwin)])
+    out = np.zeros((R, P), bool)
+    rows = np.repeat(np.arange(R), nwin)
+    offs = np.arange(len(solid_mask)) - base[rows]
+    out[rows, offs] = solid_mask
+    if num_assist:
+        out[R - num_assist :, :] = True
+    return out
+
+
 def build_sdbg_device(
     package: ReadPackage,
     k: int,
     min_count: int = 1,
     batch_reads: int | None = None,
+    solid_mask: np.ndarray | None = None,
+    num_assist: int = 0,
 ) -> SdBG:
     """Device-resident equivalent of builder.build_sdbg (kmin-1pass path).
 
@@ -308,14 +335,17 @@ def build_sdbg_device(
     host builder (tested full-array in tests/test_device_builder.py).
     With batch_reads set and exceeded, phase 1 streams read batches through
     the device (RAM/HBM-bounded; builder.edges_from_reads_streaming) and
-    only the merged distinct-edge relation reaches phase 2."""
+    only the merged distinct-edge relation reaches phase 2. solid_mask
+    (the mercy mask, per fwd window) restricts counting to solid windows,
+    matching builder.edges_from_reads' mask semantics."""
     k1 = k + 1
     if batch_reads and package.num_reads > batch_reads:
         from .builder import edges_from_reads_streaming
         from ..ops.dna import pack_kmers
 
         edges, mult_np = edges_from_reads_streaming(
-            package, k, min_count, batch_reads, engine="device"
+            package, k, min_count, batch_reads, engine="device",
+            solid_mask=solid_mask, num_assist=num_assist,
         )
         n_edges = len(edges)
         E = _round_up_pow2(max(n_edges, 1))
@@ -337,9 +367,20 @@ def build_sdbg_device(
         )
         return sdbg_from_phase2(res, k)
     padded, lens = package.padded()
-    keys, mult, n_edges_d = _phase1(
-        jnp.asarray(padded), jnp.asarray(lens), k1, min_count
-    )
+    if solid_mask is not None:
+        # the mask already encodes solidity (+ always-solid assist rows);
+        # no multiplicity filter, matching builder.edges_from_reads:103
+        P = padded.shape[1] - k1 + 1
+        wm = jnp.asarray(
+            _padded_window_mask(package, k1, P, solid_mask, num_assist)
+        )
+        keys, mult, n_edges_d = _phase1(
+            jnp.asarray(padded), jnp.asarray(lens), k1, 1, wm
+        )
+    else:
+        keys, mult, n_edges_d = _phase1(
+            jnp.asarray(padded), jnp.asarray(lens), k1, min_count
+        )
     n_edges = int(n_edges_d)  # host fetch 1: capacity bucket
     E = min(_round_up_pow2(max(n_edges, 1) * 2), keys.shape[0])
     E = max(E, _round_up_pow2(n_edges))

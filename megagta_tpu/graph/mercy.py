@@ -17,7 +17,16 @@ p, right k-mer at p+1):
   * per read: a gap between a no_out k-mer and a later no_in k-mer with no
     solid k-mer in between gets its windows rescued (marked solid).
 
-Returns the per-window solid mask consumed by graph/builder.py.
+Memory model (v2, the reference's RAM-budgeted lv1/lv2 structure,
+src/cx1.h:125-202): pass A streams read batches to build the three global
+sorted occurrence-key tables (16 B per window — never the 45 B/window char
+matrices); pass B streams batches again, materializing each batch's window
+chars and 4-way extension queries only transiently and scattering per-k-mer
+flags into global bool arrays; the gap rescue runs once, globally, over
+bools. Peak RAM = key tables + one batch's transients.
+
+Returns the per-window solid mask consumed by graph/builder.py and (for
+device/sharded engines) graph/device_builder.py.
 """
 
 from __future__ import annotations
@@ -32,10 +41,6 @@ __all__ = ["solid_windows_with_mercy"]
 
 def _counts_for(keys_sorted, query_keys):
     """Occurrence count per query row against sorted key rows."""
-    W = keys_sorted.shape[1]
-    lo = np.zeros(len(query_keys), np.int64)
-    hi = np.full(len(query_keys), len(keys_sorted), np.int64)
-    # lexicographic searchsorted over multiword keys
     lo = _lexsearch(keys_sorted, query_keys, "left")
     hi = _lexsearch(keys_sorted, query_keys, "right")
     return hi - lo
@@ -46,7 +51,6 @@ def _lexsearch(sorted_keys, queries, side):
     W = sorted_keys.shape[1]
     if W == 1:
         return np.searchsorted(sorted_keys[:, 0], queries[:, 0], side=side)
-    # pack pairs of uint64 into one sort via structured dtype view
     s = np.ascontiguousarray(sorted_keys)
     q = np.ascontiguousarray(queries)
     dt = np.dtype([(f"w{i}", np.uint64) for i in range(W)])
@@ -55,129 +59,154 @@ def _lexsearch(sorted_keys, queries, side):
     return np.searchsorted(sv, qv, side=side)
 
 
+def _sort_rows(keys):
+    order = np.lexsort(
+        tuple(keys[:, j] for j in range(keys.shape[1] - 1, -1, -1))
+    )
+    return keys[order]
+
+
 def solid_windows_with_mercy(
-    package: ReadPackage, k: int, threshold: int, num_assist: int = 0
+    package: ReadPackage,
+    k: int,
+    threshold: int,
+    num_assist: int = 0,
+    batch_reads: int | None = None,
 ) -> np.ndarray:
-    win, read_id, offs = sliding_windows(package.flat, package.starts, k + 1)
-    n_win = len(win)
+    lens = package.lengths
+    R = package.num_reads
+    num_short = R - num_assist
+    nwin = np.maximum(lens - k, 0)
+    win_base = np.concatenate([[0], np.cumsum(nwin)])
+    n_win = int(win_base[-1])
     if n_win == 0:
         return np.zeros(0, bool)
-    lens = package.lengths
-    num_short = package.num_reads - num_assist
-
-    rc = revcomp(win, axis=1)
-    is_palin = (win == rc).all(axis=1)
-
-    def sorted_keys(mat):
-        keys = pack_kmers(mat, k + 1)
-        order = np.lexsort(tuple(keys[:, j] for j in range(keys.shape[1] - 1, -1, -1)))
-        return keys[order]
-
-    all_occ = sorted_keys(np.concatenate([win, rc[~is_palin]], axis=0))
-    win_keys = pack_kmers(win, k + 1)
-    cnt = _counts_for(all_occ, win_keys)
-    solid = cnt >= threshold
-
-    # assist windows are always solid and never judged (s1 :760, s2 :276)
-    if num_assist:
-        solid = solid | (read_id >= num_short)
-
     if threshold <= 1:
         return np.ones(n_win, bool)
+    nkm = np.maximum(lens - k + 1, 0)
+    km_base = np.concatenate([[0], np.cumsum(nkm)])
+    total_k = int(km_base[-1])
+    B = batch_reads or R
 
-    # ---- adjacency-proxy counts -----------------------------------------
-    # occurrence has a following char (fwd) / preceding char (fwd):
-    has_next = offs + k + 1 < lens[read_id]
-    has_prev = offs > 0
-    # strand-1 occurrence of rc(window): following in rc orientation is the
-    # read's preceding char and vice versa
-    nonend = np.concatenate([win[has_next], rc[~is_palin & has_prev]], axis=0)
-    nonstart = np.concatenate([win[has_prev], rc[~is_palin & has_next]], axis=0)
-    nonend_sorted = sorted_keys(nonend) if len(nonend) else np.zeros((0, win_keys.shape[1]), np.uint64)
-    nonstart_sorted = sorted_keys(nonstart) if len(nonstart) else np.zeros((0, win_keys.shape[1]), np.uint64)
+    # ---- pass A: global sorted occurrence tables, batch-streamed ---------
+    occ_parts, nonend_parts, nonstart_parts = [], [], []
+    for lo in range(0, R, B):
+        hi = min(lo + B, R)
+        sub = package.read_slice(lo, hi)
+        win, rid, offs = sliding_windows(sub.flat, sub.starts, k + 1)
+        if not len(win):
+            continue
+        rc = revcomp(win, axis=1)
+        is_palin = (win == rc).all(axis=1)
+        occ_parts.append(
+            pack_kmers(np.concatenate([win, rc[~is_palin]], axis=0), k + 1)
+        )
+        has_next = offs + k + 1 < lens[lo + rid]
+        has_prev = offs > 0
+        ne = np.concatenate(
+            [win[has_next], rc[~is_palin & has_prev]], axis=0
+        )
+        ns = np.concatenate(
+            [win[has_prev], rc[~is_palin & has_next]], axis=0
+        )
+        if len(ne):
+            nonend_parts.append(pack_kmers(ne, k + 1))
+        if len(ns):
+            nonstart_parts.append(pack_kmers(ns, k + 1))
 
-    # per window position p: left k-mer at p needs "has solid incoming" =
-    # exists x with proxy-count(x + kmer) >= t; right k-mer needs outgoing.
-    # Build per-k-mer-offset flags by querying the 4 possible extensions.
-    km_win, km_read, km_off = sliding_windows(package.flat, package.starts, k)
+    Wd = occ_parts[0].shape[1]
+    cat = lambda ps: (  # noqa: E731
+        np.concatenate(ps) if ps else np.zeros((0, Wd), np.uint64)
+    )
+    all_occ = _sort_rows(cat(occ_parts))
+    nonend_sorted = _sort_rows(cat(nonend_parts))
+    nonstart_sorted = _sort_rows(cat(nonstart_parts))
+    del occ_parts, nonend_parts, nonstart_parts
 
-    ext_left = np.zeros((len(km_win), 4, k + 1), np.int8)
-    ext_left[:, :, 1:] = km_win[:, None, :]
-    ext_left[:, :, 0] = np.arange(4, dtype=np.int8)[None, :]
-    ext_right = np.zeros((len(km_win), 4, k + 1), np.int8)
-    ext_right[:, :, :-1] = km_win[:, None, :]
-    ext_right[:, :, -1] = np.arange(4, dtype=np.int8)[None, :]
-
-    def proxy_count(sorted_occ, mats):
-        flat = mats.reshape(-1, k + 1)
-        keys = pack_kmers(flat, k + 1)
-        return _counts_for(sorted_occ, keys).reshape(mats.shape[0], 4)
-
-    in_cnt = proxy_count(nonend_sorted, ext_left)
-    out_cnt = proxy_count(nonstart_sorted, ext_right)
-    full_in_cnt = proxy_count(all_occ, ext_left)
-    full_out_cnt = proxy_count(all_occ, ext_right)
-    kmer_has_in = (in_cnt >= threshold).any(axis=1)
-    kmer_has_out = (out_cnt >= threshold).any(axis=1)
-    kmer_solid_out = (full_out_cnt >= threshold).any(axis=1)  # l_has_out
-    kmer_solid_in = (full_in_cnt >= threshold).any(axis=1)  # r_has_in
-
-    # ---- per-k-mer flags (global scatter-OR) -----------------------------
-    # In the reference's per-position loop every window writes flags at its
-    # left k-mer (offset p) and right k-mer (p+1) from precomputed inputs
-    # only — no flag is read back — so the whole pass is a scatter-OR over
-    # k-mer indices (s2 :150-208 semantics).
-    win_base = np.concatenate([[0], np.cumsum(np.maximum(lens - k, 0))])
-    km_base = np.concatenate([[0], np.cumsum(np.maximum(lens - k + 1, 0))])
-
-    total_k = len(km_win)
+    # ---- pass B: per-batch solidity + per-k-mer flag scatter -------------
+    solid = np.zeros(n_win, bool)
     no_in = np.zeros(total_k, bool)
     no_out = np.zeros(total_k, bool)
     has_solid = np.zeros(total_k, bool)
-
-    short_w = read_id < num_short
-    lk = km_base[read_id] + offs  # global k-mer index left of each window
-    rk = lk + 1
-    ws = solid & short_w
-    nsw = (~solid) & short_w
-    h_in_l = kmer_has_in[lk]
-    h_out_r = kmer_has_out[rk]
 
     def mark(arrs, mask, idx):
         sel = idx[mask]
         for a in arrs:
             a[sel] = True
 
-    # solid windows
-    mark((no_in, has_solid), ws & ~h_in_l, lk)
-    mark((no_out, has_solid), ws & ~h_out_r, rk)
-    # non-solid windows: left k-mer judged by (solid out-edge?, proxy in?)
-    s_out_l = kmer_solid_out[lk]
-    mark((has_solid,), nsw & s_out_l, lk)
-    mark((no_in,), nsw & s_out_l & ~h_in_l, lk)
-    mark((no_out, has_solid), nsw & ~s_out_l & h_in_l, lk)
-    # non-solid windows: right k-mer judged by (solid in-edge?, proxy out?)
-    s_in_r = kmer_solid_in[rk]
-    mark((has_solid,), nsw & s_in_r, rk)
-    mark((no_out,), nsw & s_in_r & ~h_out_r, rk)
-    mark((no_in, has_solid), nsw & ~s_in_r & h_out_r, rk)
+    for lo in range(0, R, B):
+        hi = min(lo + B, R)
+        sub = package.read_slice(lo, hi)
+        win, rid, offs = sliding_windows(sub.flat, sub.starts, k + 1)
+        if not len(win):
+            continue
+        gread = lo + rid
+        gw = win_base[gread] + offs  # global window index
+        cnt = _counts_for(all_occ, pack_kmers(win, k + 1))
+        bsolid = cnt >= threshold
+        if num_assist:
+            bsolid = bsolid | (gread >= num_short)
+        solid[gw] = bsolid
 
-    # solid windows flank their k-mers (s2 :210-214)
-    hs = has_solid
-    hs[lk[ws]] = True
-    hs[rk[ws]] = True
+        # per-k-mer 4-way extension proxy/full counts for this batch
+        km_win, km_rid, _ = sliding_windows(sub.flat, sub.starts, k)
+        ext_left = np.zeros((len(km_win), 4, k + 1), np.int8)
+        ext_left[:, :, 1:] = km_win[:, None, :]
+        ext_left[:, :, 0] = np.arange(4, dtype=np.int8)[None, :]
+        ext_right = np.zeros((len(km_win), 4, k + 1), np.int8)
+        ext_right[:, :, :-1] = km_win[:, None, :]
+        ext_right[:, :, -1] = np.arange(4, dtype=np.int8)[None, :]
+
+        def pcount(sorted_occ, mats):
+            keys = pack_kmers(mats.reshape(-1, k + 1), k + 1)
+            return _counts_for(sorted_occ, keys).reshape(-1, 4)
+
+        kmer_has_in = (pcount(nonend_sorted, ext_left) >= threshold).any(1)
+        kmer_has_out = (pcount(nonstart_sorted, ext_right) >= threshold).any(1)
+        kmer_solid_out = (pcount(all_occ, ext_right) >= threshold).any(1)
+        kmer_solid_in = (pcount(all_occ, ext_left) >= threshold).any(1)
+        del ext_left, ext_right
+
+        # batch-local k-mer index of each window's left/right k-mer, and
+        # the corresponding global indices for the flag scatters
+        km_base_l = np.concatenate([[0], np.cumsum(nkm[lo:hi])])
+        lk_l = km_base_l[rid] + offs
+        lk = km_base[gread] + offs  # global left k-mer index
+        rk = lk + 1
+        short_w = gread < num_short
+        ws = bsolid & short_w
+        nsw = (~bsolid) & short_w
+        h_in_l = kmer_has_in[lk_l]
+        h_out_r = kmer_has_out[lk_l + 1]
+
+        # solid windows
+        mark((no_in, has_solid), ws & ~h_in_l, lk)
+        mark((no_out, has_solid), ws & ~h_out_r, rk)
+        # non-solid windows: left k-mer judged by (solid out-edge?, proxy in?)
+        s_out_l = kmer_solid_out[lk_l]
+        mark((has_solid,), nsw & s_out_l, lk)
+        mark((no_in,), nsw & s_out_l & ~h_in_l, lk)
+        mark((no_out, has_solid), nsw & ~s_out_l & h_in_l, lk)
+        # non-solid windows: right k-mer judged by (solid in-edge?, proxy out?)
+        s_in_r = kmer_solid_in[lk_l + 1]
+        mark((has_solid,), nsw & s_in_r, rk)
+        mark((no_out,), nsw & s_in_r & ~h_out_r, rk)
+        mark((no_in, has_solid), nsw & ~s_in_r & h_out_r, rk)
+        # solid windows flank their k-mers (s2 :210-214)
+        has_solid[lk[ws]] = True
+        has_solid[rk[ws]] = True
 
     # ---- gap rescue as a segmented last-event scan -----------------------
     # State after position i: last_no_out = i if no_out[i] (set wins over
-    # the hs reset at the same i), -1 if hs[i], else carried. Equivalent to
-    # "index of the last event <= i, if that event was a no_out". A rescue
+    # the hs reset at the same i), -1 if hs[i], else carried. A rescue
     # fires at i when no_in[i] and the carried state is valid; it marks the
     # window range [state, i) — accumulated as interval coverage.
+    km_read = np.repeat(np.arange(R), nkm)
     gi = np.arange(total_k, dtype=np.int64)
     seg_start = km_base[km_read]
-    event = no_out | hs
+    event = no_out | has_solid
     last_event = np.maximum.accumulate(np.where(event, gi, -1))
-    j = np.where(last_event >= seg_start, last_event, -1)  # clip to own read
+    j = np.where(last_event >= seg_start, last_event, -1)
     state = np.where((j >= 0) & no_out[np.maximum(j, 0)], j, -1)
     s_prev = np.empty(total_k, np.int64)
     if total_k:
@@ -186,7 +215,7 @@ def solid_windows_with_mercy(
         s_prev[gi == seg_start] = -1
 
     res = no_in & (s_prev >= 0) & (km_read < num_short)
-    mercy_solid = solid.copy()
+    mercy_solid = solid
     if res.any():
         r_ids = km_read[res]
         off = win_base[r_ids] - km_base[r_ids]
@@ -195,5 +224,5 @@ def solid_windows_with_mercy(
         d = np.zeros(n_win + 1, np.int64)
         np.add.at(d, w_start, 1)
         np.add.at(d, w_end, -1)
-        mercy_solid |= np.cumsum(d[:-1]) > 0
+        mercy_solid = mercy_solid | (np.cumsum(d[:-1]) > 0)
     return mercy_solid

@@ -191,15 +191,30 @@ def rc_keys(keys: jnp.ndarray, k1: int) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("k1",))
-def counted_kmers(padded: jnp.ndarray, lengths: jnp.ndarray, k1: int):
+def counted_kmers(
+    padded: jnp.ndarray,
+    lengths: jnp.ndarray,
+    k1: int,
+    window_mask: jnp.ndarray | None = None,
+):
     """Full device counting pipeline.
 
+    window_mask: optional [R, P] bool — only masked-True windows count
+    (the mercy solid mask, reference s2 solid-window semantics).
     Returns (sorted_keys [M, 3] uint32, run_start [M] bool, valid [M] bool):
     the sorted double-stranded occurrence multiset (palindromes once) with
     run boundaries; distinct edges and multiplicities fall out of run ids.
     """
     words = pack_reads_device(padded)
     fwd, valid = window_keys(words, lengths, k1)
+    if window_mask is not None:
+        # window_keys pads rows to 16-char word multiples, so its position
+        # axis can exceed the caller's (padded_len - k1 + 1) mask width
+        gap = valid.shape[1] - window_mask.shape[1]
+        if gap:
+            window_mask = jnp.pad(window_mask, ((0, 0), (0, gap)))
+        valid = valid & window_mask
+        fwd = jnp.where(valid[..., None], fwd, UMAX)
     rc = rc_keys(fwd, k1)
     palin = (fwd == rc).all(axis=-1)
     rc = jnp.where((valid & ~palin)[..., None], rc, UMAX)

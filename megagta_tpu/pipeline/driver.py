@@ -54,7 +54,8 @@ class Options:
     use_wavefront: bool = True
     pool_size: int = 1 << 13
     max_steps: int = 1 << 13
-    expand_width: int = 8  # B=8 measured fastest on v5e (tools/tune_search)
+    expand_width: int = 16  # B=16 measured fastest on v5e at prod
+    # scale (r4: 6.8 s vs 9.3 s at B=8; B=4 and B=32 both much worse)
     use_cache: bool = True
     float64: bool = False
     # None = auto: fused Pallas step kernels on TPU backends, plain XLA
@@ -230,22 +231,18 @@ class Pipeline:
         return lib_path
 
     def _build_engine(self, mercy: bool, num_assist: int) -> str:
-        from ..graph.device_builder import device_build_supported
-
         eng = self.opt.build_engine
         if eng == "host":
             return "host"
-        supported = device_build_supported(self.opt.min_count, None, num_assist) and not mercy
+        # mercy builds run on the device engine too (the solid mask streams
+        # on the host, counting/BOSS on device); the sharded engine has no
+        # mask plumbing yet and falls back to single-device
         if eng in ("device", "sharded"):
-            if not supported:
-                raise ValueError(
-                    f"build_engine={eng} requires a mercy/assist-free build"
-                )
+            if eng == "sharded" and mercy:
+                return "device"
             return eng
         import jax
 
-        if not supported:
-            return "host"
         # auto: keyspace-sharded counting across every local device (the
         # reference's parallel CX1 bucket pipeline, src/cx1.h:204-303);
         # single-device builds use the plain device engine. Multi-host
@@ -253,7 +250,7 @@ class Pipeline:
         if jax.default_backend() == "cpu":
             return "host"
         n = jax.local_device_count()
-        if n > 1 and (n & (n - 1)) == 0 and not self.multihost:
+        if n > 1 and (n & (n - 1)) == 0 and not self.multihost and not mercy:
             return "sharded"
         return "device"
 
@@ -273,13 +270,23 @@ class Pipeline:
                 if mercy:
                     from ..graph.mercy import solid_windows_with_mercy
 
+                    br = self._batch_reads(pkg)
                     solid = solid_windows_with_mercy(
-                        pkg, k, self.opt.min_count, num_assist
+                        pkg, k, self.opt.min_count, num_assist,
+                        batch_reads=br if pkg.num_reads > br else None,
                     )
-                    dbg = build_sdbg(
-                        pkg, k, self.opt.min_count, solid_mask=solid,
-                        num_assist=num_assist,
-                    )
+                    if engine in ("device", "sharded"):
+                        from ..graph.device_builder import build_sdbg_device
+
+                        dbg = build_sdbg_device(
+                            pkg, k, self.opt.min_count, batch_reads=br,
+                            solid_mask=solid, num_assist=num_assist,
+                        )
+                    else:
+                        dbg = build_sdbg(
+                            pkg, k, self.opt.min_count, solid_mask=solid,
+                            num_assist=num_assist,
+                        )
                 elif engine == "sharded":
                     from ..parallel.mesh import make_mesh
                     from ..parallel.sharded_build import build_sdbg_sharded
