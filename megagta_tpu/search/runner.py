@@ -444,6 +444,9 @@ class BatchSearcher:
     #     re-run at exact_chunk width with an exact_pool_mult x pool.
     defer_steps: int = 256
     main_thresh: int = 16  # alive-row count at which a main chunk stops
+    first_round_cap: int | None = None  # optional round-1 step cap
+    # (measured HARMFUL on the prod workload: punting early starves the
+    # path cache and the convergence rounds churn 4x the steps)
     deep_chunk: int = 64
     deep_pool_mult: int = 4
     deep_max_steps: int = 4096
@@ -568,10 +571,13 @@ class BatchSearcher:
         }
         results: dict[int, str] = {}
         order = list(range(len(seeds)))
-        # round 1: full-width chunks, adaptive early stop + hard cap
+        # round 1: full-width chunks, adaptive early stop. The cold
+        # chunks' deep exploration and pool overflows look wasteful but
+        # their harvests ARE the cache warm-up: both a deep-tier warm
+        # round and a tight round-1 step cap were measured far slower.
         deferred = self._run_round(
             seeds, order, results, self.cfg_main, self.chunk,
-            act_thresh=self.main_thresh,
+            act_thresh=self.main_thresh, limit=self.first_round_cap,
         )
         self.last_stats["deferred"] = len(deferred)
         # rounds 1.5+: re-run deferrals at the SAME config while progress
@@ -607,7 +613,7 @@ class BatchSearcher:
         return [results[i] for i in range(len(seeds))]
 
     def _run_round(self, seeds, idx_list, results, cfg, width,
-                   act_thresh=0, final=False):
+                   act_thresh=0, final=False, limit=None):
         """One escalation round, PIPELINED: chunk i+1's device run is
         dispatched before chunk i's results are downloaded, hiding the
         tunnel's transfer latency and the host-side compose/harvest under
@@ -622,7 +628,7 @@ class BatchSearcher:
             cur = (
                 idxs,
                 self._dispatch_chunk(
-                    [seeds[j] for j in idxs], cfg, None, width, act_thresh
+                    [seeds[j] for j in idxs], cfg, limit, width, act_thresh
                 ),
             )
             if prev is not None:

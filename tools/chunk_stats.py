@@ -33,7 +33,9 @@ def make_bs(chunk=512):
     return BatchSearcher(
         dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
         WavefrontConfig(
-            pool_size=1 << 12, max_steps=1 << 11, expand_width=8,
+            pool_size=int(os.environ.get("BENCH_POOL", 1 << 12)),
+            max_steps=1 << 11,
+            expand_width=int(os.environ.get("BENCH_B", 16)),
             use_cache=True, use_pallas=on_tpu, use_pallas_expand=on_tpu,
         ),
         dtype=jnp.float32, chunk=chunk,

@@ -55,7 +55,7 @@ _BODY = textwrap.dedent(
     from megagta_tpu.search.runner import BatchSearcher
     from megagta_tpu.search.wavefront import WavefrontConfig
 
-    meta, dbg, seeds = bench.build_inputs("small")
+    meta, dbg, seeds = bench.build_inputs(os.environ.get("SCALE_PROFILE", "small"))
     seeds = seeds[: int(os.environ["SCALE_NSEEDS"])]
     fwd = parse_hmm(meta["forward_hmm"])
     rev = parse_hmm(meta["reverse_hmm"])
@@ -123,7 +123,8 @@ def main():
     w2 = run_config(2, N_SEEDS)
     eff = w1 / (2 * w2)
     res = {
-        "workload": f"small bench, {N_SEEDS} seeds, k=44 graph",
+        "workload": f"{os.environ.get('SCALE_PROFILE', 'small')} bench, "
+                    f"{N_SEEDS} seeds, k=44 graph",
         "method": "jax.distributed 2-process CPU, 1 core per worker "
                   "(taskset), production multihost seed-sharding path",
         "wall_1worker_s": round(w1, 3),
