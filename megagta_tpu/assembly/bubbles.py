@@ -321,9 +321,16 @@ def pop_bubbles(dbg: SdBG, max_branches: int = MAX_BRANCHES) -> int:
             else:
                 retry.append(int(queue[c]))
         queue = np.asarray(retry, np.int64)
-        if not dirty.any() and not found.size:
-            break
         if not dirty.any():
             # nothing changed this wave; remaining retries cannot succeed
             break
+    if len(queue):
+        # the 64-wave cap bound (has never fired on any tested workload);
+        # surface the drop instead of silently leaving bubbles unpopped
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "pop_bubbles: wave cap hit with %d convergent candidates "
+            "still queued (left unpopped)", len(queue),
+        )
     return num

@@ -33,11 +33,22 @@ from jax.experimental.pallas import tpu as pltpu
 INT_MIN32 = -(2**31)
 IDENT_MASK = (1 << 14) - 1
 
+def select_fits(P: int) -> bool:
+    """True when even a single-row tile of the pool planes fits the ~4 MB
+    scoped-VMEM budget; callers must take the XLA select path otherwise
+    (pool widths >~ 116k lanes)."""
+    return P * 36 <= (4 << 20)
+
+
 def _rows_for(P: int, S: int) -> int:
     """Seed rows per program, sized so the streamed block (7 input planes +
     1 output plane + small outputs, double-buffered) stays inside scoped
     VMEM: ROWS x P x 4 B x 9 <= ~4 MB. Big-pool ladder configs (the deep /
     exact escalation shapes, P up to 128k) drop to narrow row tiles."""
+    assert select_fits(P), (
+        f"pool width {P} exceeds the Pallas select kernel's VMEM budget "
+        "even at one row per program; use the XLA select path"
+    )
     rows = 16
     while rows > 1 and rows * P * 36 > (4 << 20):
         rows //= 2

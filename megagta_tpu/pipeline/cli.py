@@ -84,7 +84,7 @@ def _add_main_args(p: argparse.ArgumentParser):
     p.add_argument("--float64", action="store_true", help="float64 search scores (exact reference numerics)")
     p.add_argument("--pool-size", type=int, default=1 << 13)
     p.add_argument("--max-steps", type=int, default=1 << 13)
-    p.add_argument("--expand-width", type=int, default=8,
+    p.add_argument("--expand-width", type=int, default=16,
                    help="frontier nodes expanded per seed per step (1 = exact serial semantics)")
     p.add_argument("--chunk", type=int, default=0,
                    help="seeds per device batch (0 = auto-size to device memory)")

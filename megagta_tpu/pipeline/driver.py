@@ -332,6 +332,10 @@ class Pipeline:
                 self.contig_file(k),
                 [(f"contig_{i}_{c.name}", c.seq) for i, c in enumerate(contigs)],
             )
+            # `<contigs>.info` sidecar: "count total_bases" (reference
+            # out_contig_info, src/assembler.cpp:150-162)
+            with open(self.contig_file(k) + ".info", "w") as f:
+                f.write(f"{stats['count']} {stats['total']}\n")
             log(f"k={k}: {stats['count']} contigs, N50 {stats['n50']}")
             report_rusage(f"denovo k{k}")
         self._sync(f"denovo_{k}")

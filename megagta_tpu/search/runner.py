@@ -311,7 +311,15 @@ class _PathCache:
             chain.append(idx)
             on_path.add(idx)
             idx = self._next(idx)
-        tail = self.walk(idx, depth + 1) if idx is not None else None
+        # recurse ONLY into a memoized tail: a loop exit with idx still on
+        # this path (a stitched cycle through insert-state loops across
+        # donors) or at the length cap must cut here — a fresh walk(idx)
+        # would rebuild the same cycle forever
+        tail = (
+            self.walk(idx, depth + 1)
+            if idx is not None and idx in res
+            else None
+        )
         for pos in range(len(chain) - 1, -1, -1):
             i = chain[pos]
             e, dc = self.emis[i], self.dc[i]
@@ -761,6 +769,14 @@ class BatchSearcher:
 
         # one merged run: rows [0:S] forward, [S:2S] reverse
         tab = self._cache_tables() if self.cache_f else None
+        # batch-visibility snapshot: the pipelined round dispatches chunk
+        # i+1 (advancing cache limits) before chunk i composes, so the
+        # dispatch-time window rides the ctx and is restored at finish —
+        # compose/walk must stitch only through entries this chunk's
+        # device table could have probed
+        limits = (
+            (self.cache_f.limit, self.cache_r.limit) if self.cache_f else None
+        )
         if self.merged:
             dirs = np.concatenate([np.zeros(S, np.int32), np.ones(S, np.int32)])
             res = wavefront_search_merged(
@@ -825,6 +841,7 @@ class BatchSearcher:
             "seeds": seeds, "S": S, "res": res,
             "chains": (dnodes, dpacked, dreals),
             "meta_dev": _pack_meta(res["meta"], dlens, res["scal"]),
+            "limits": limits,
         }
         if dreals.dtype == jnp.float32:
             # chain length <= steps + 1, and steps are capped per ladder
@@ -840,6 +857,10 @@ class BatchSearcher:
         seeds = ctx["seeds"]
         S = ctx["S"]
         res = ctx["res"]
+        if ctx.get("limits") is not None:
+            # restore this chunk's dispatch-time cache window (limits only
+            # grow, so memoized walks stay monotonically extendable)
+            self.cache_f.limit, self.cache_r.limit = ctx["limits"]
         dnodes, dpacked, dreals = ctx["chains"]
         trace3, treal = res["trace3"], res["treal"]
         Tc = trace3.shape[2]

@@ -804,7 +804,9 @@ def wavefront_search_merged(
         ia, ibx, lpx = pia, pibx, plpx
         fsc, fre, fmx = psc, pre, pmx
 
-        if config.use_pallas:
+        from ..ops.pallas.step_select import select_fits
+
+        if config.use_pallas and select_fits(P):
             from ..ops.pallas.step_select import step_select_kill
 
             # all seven fields of the B selected entries come out of the
