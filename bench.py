@@ -134,6 +134,9 @@ def measure_ours(meta, dbg, seeds, chunk=512):
     pool = int(os.environ.get("BENCH_POOL", 1 << 12))
     thresh = int(os.environ.get("BENCH_THRESH", 0))
     bwidth = int(os.environ.get("BENCH_B", 16))
+    # seed refill (continuous batching): resident rows streaming the
+    # 2*chunk item queue; 0 = legacy one-row-per-item chunks
+    refill = int(os.environ.get("BENCH_REFILL", 256))
 
     def make_bs():
         bs = BatchSearcher(
@@ -150,6 +153,7 @@ def measure_ours(meta, dbg, seeds, chunk=512):
             ),
             dtype=jnp.float32,
             chunk=chunk,
+            refill_rows=refill,
         )
         if thresh:
             bs.main_thresh = thresh

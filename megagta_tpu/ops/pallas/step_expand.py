@@ -44,7 +44,7 @@ def _make_kernel(W, L, prune_len, low_cov_pen, aa_stop, dt, NT):
     CW = 2 * W + 1
 
     def kernel(
-        scal_ref,  # SMEM [2]: (skip_prune, tpos0) — tpos0 unused here
+        scal_ref,  # SMEM [2]: reserved (prefetch slot; currently unused)
         tgt_ref,  # [1, NT, W] i32 path targets
         w1_ref,  # [1, NT, W] i32 path flags/codon word
         ints_ref,  # [1, NT, 8] i32: node, ibx, lpx, emask, dir, parent, 0, 0
@@ -59,7 +59,6 @@ def _make_kernel(W, L, prune_len, low_cov_pen, aa_stop, dt, NT):
         cmx_ref,  # out [1, NT, CW] dt
         cnt_ref,  # out [1, NT, 8] i32: col0 = valid count
     ):
-        skip_prune = scal_ref[0]
         ints = ints_ref[0]  # [NT, 8]
         node = ints[:, 0:1]
         ibx_s = ints[:, 1:2]
@@ -166,16 +165,19 @@ def _make_kernel(W, L, prune_len, low_cov_pen, aa_stop, dt, NT):
         cand_max = cat(m_max, bc(mx), mx)
         valid = cat(m_valid, i_valid, d_valid) * em
 
-        # pruning (hmm_graph_search.h:292-310); step-0 expansions unpruned
+        # pruning (hmm_graph_search.h:292-310); a START node's expansion is
+        # unpruned (hmm_graph_search.h:217-234). Roots are identified per
+        # node by a zero parent field (only start entries carry parent -1,
+        # so lpx bits 0-19 == 0 <=> start) — under seed refill, starts
+        # appear at arbitrary steps, not just step 0
         if prune_len > 0:
             keep = jnp.where(
                 ((cand_len < 5) | (cand_neg <= prune_len)) & (cand_real > 0.0),
                 1,
                 0,
             )
-            keep = keep | jnp.broadcast_to(
-                jnp.where(skip_prune != 0, 1, 0), keep.shape
-            )
+            root = jnp.where((lpx_s & 0xFFFFF) == 0, 1, 0)  # [n, 1]
+            keep = keep | jnp.broadcast_to(root, keep.shape)
             valid = valid * keep
 
         c_ibx = (
@@ -218,7 +220,6 @@ def step_expand(
     expand_mask,  # [n] bool
     ndir,  # [n] i32
     parent,  # [n] i32 trace position of the source node
-    skip_prune,  # [] bool/int
     W: int, L: int,
     prune_len: int, low_cov_pen: float, aa_stop: int,
     interpret: bool = False,
@@ -237,9 +238,7 @@ def step_expand(
     if HR % 8:
         hsuper = jnp.pad(hsuper, ((0, 8 - HR % 8), (0, 0)))
 
-    scal = jnp.stack(
-        [jnp.asarray(skip_prune, jnp.int32), jnp.zeros((), jnp.int32)]
-    )
+    scal = jnp.zeros((2,), jnp.int32)  # reserved prefetch slot
     zi = jnp.zeros((n, 2), jnp.int32)
     ints = jnp.stack(
         [

@@ -39,6 +39,7 @@ from .wavefront import (
     DeviceHMM,
     WavefrontConfig,
     extract_chains,
+    extract_chains_windows,
     wavefront_search_merged,
 )
 
@@ -404,6 +405,13 @@ def _round_up_pow2(x: int) -> int:
     return 1 << max(0, (x - 1).bit_length())
 
 
+def _refill_win(cfg) -> int:
+    """Residence-window width for refill-mode extraction: an item's trace
+    records span at most (item_cap + 2) * B positions from its recorded
+    window start (it is selected for <= item_cap steps, B slots each)."""
+    return _round_up_pow2((cfg.item_cap + 2) * cfg.expand_width)
+
+
 @jax.jit
 def _pack_meta(meta, dlens, scal):
     """[2S, 7] meta + chain lengths + the scalar triple in ONE downloadable
@@ -452,6 +460,14 @@ class BatchSearcher:
     #     re-run at exact_chunk width with an exact_pool_mult x pool.
     defer_steps: int = 256
     main_thresh: int = 16  # alive-row count at which a main chunk stops
+    # seed refill (continuous batching): > 0 runs the MAIN tier with this
+    # many resident lockstep rows streaming the 2*chunk item queue —
+    # finished rows load the next queued item mid-run instead of idling
+    # (wavefront.py refill mode; the batch analogue of the reference's
+    # omp schedule(dynamic,1), search.cpp:184-188). Items get defer_steps
+    # residence steps each, so ladder semantics are unchanged. 0 = legacy
+    # one-row-per-item chunks. Unsupported combined with `mesh`.
+    refill_rows: int = 0
     first_round_cap: int | None = None  # optional round-1 step cap
     # (measured HARMFUL on the prod workload: punting early starves the
     # path cache and the convergence rounds churn 4x the steps)
@@ -479,8 +495,24 @@ class BatchSearcher:
         # main tier: arena depth = the defer cap (trace/extract shapes stay
         # small and STATIC — one compile, no per-bucket recompiles mid-run)
         P = self.config.pool_size
+        if self.mesh is not None:
+            self.refill_rows = 0  # refill + sharded seed axis unsupported
         self.cfg_main = self.config
-        if self.defer_steps and self.defer_steps < self.config.max_steps:
+        if self.refill_rows > 0:
+            # refill main tier: R resident rows stream the 2*chunk item
+            # queue; each item gets defer_steps residence steps (the same
+            # per-item budget as a legacy deferral chunk). max_steps bounds
+            # the CHUNK: every item running to its cap serialized over R
+            # rows, plus the drain tail.
+            Qc = 2 * self.chunk
+            R = min(self.refill_rows, Qc)
+            R = max(R - R % 16, 16)  # Pallas row tiles + (S*B) % 8
+            cap = self.defer_steps or self.config.max_steps
+            steps_cap = (Qc * cap) // R + cap + 8
+            self.cfg_main = dataclasses.replace(
+                self.config, rows=R, item_cap=cap, max_steps=steps_cap
+            )
+        elif self.defer_steps and self.defer_steps < self.config.max_steps:
             self.cfg_main = dataclasses.replace(
                 self.config, max_steps=self.defer_steps
             )
@@ -493,12 +525,14 @@ class BatchSearcher:
             pool_size=P * self.deep_pool_mult,
             max_steps=max(self.config.max_steps, self.deep_max_steps),
             use_pallas=False, use_pallas_expand=False,
+            rows=0, item_cap=0,  # escalation tiers run legacy layout
         )
         self.cfg_exact = dataclasses.replace(
             self.config,
             pool_size=P * self.exact_pool_mult,
             max_steps=max(self.config.max_steps, self.exact_max_steps),
             use_pallas=False, use_pallas_expand=False,
+            rows=0, item_cap=0,
         )
         self.graph = DeviceGraph.from_sdbg(self.dbg, self.config.precompute_hops)
         self.dev_fwd = DeviceHMM.from_profile(self.fwd_hmm, self.fwd_h, self.dtype)
@@ -834,23 +868,36 @@ class BatchSearcher:
         start_idx = jnp.where(
             res["cached_at"] >= 0, res["cached_at"], res["inter_idx"]
         )
-        dnodes, dpacked, dreals, dlens = extract_chains(
-            res["trace3"], res["treal"], start_idx
-        )
+        if "row_of" in res:
+            # refill mode: items share rows over time; gather each item's
+            # residence window from its row and extract per item
+            WIN = _refill_win(cfg)
+            dnodes, dpacked, dreals, dlens = extract_chains_windows(
+                res["trace3"], res["treal"], res["row_of"], res["tstart"],
+                start_idx, WIN,
+            )
+            # a chain holds at most one node per residence step
+            lcap = min(WIN, _round_up_pow2(cfg.item_cap + 2))
+        else:
+            dnodes, dpacked, dreals, dlens = extract_chains(
+                res["trace3"], res["treal"], start_idx
+            )
+            lcap = min(
+                res["trace3"].shape[2], _round_up_pow2(cfg.max_steps + 2)
+            )
         ctx = {
-            "seeds": seeds, "S": S, "res": res,
+            "seeds": seeds, "S": S, "res": res, "cfg": cfg,
             "chains": (dnodes, dpacked, dreals),
             "meta_dev": _pack_meta(res["meta"], dlens, res["scal"]),
             "limits": limits,
         }
         if dreals.dtype == jnp.float32:
             # chain length <= steps + 1, and steps are capped per ladder
-            # tier, so the transfer slice is STATIC — the slice runs at
-            # dispatch time and the download overlaps the next chunk's
-            # device compute instead of waiting on a meta round trip
-            Tc = res["trace3"].shape[2]
-            lmax = min(Tc, _round_up_pow2(cfg.max_steps + 2))
-            ctx["arr_dev"] = _slice_stack_f32(dnodes, dpacked, dreals, lmax)
+            # tier (per ITEM under refill), so the transfer slice is
+            # STATIC — the slice runs at dispatch time and the download
+            # overlaps the next chunk's device compute instead of waiting
+            # on a meta round trip
+            ctx["arr_dev"] = _slice_stack_f32(dnodes, dpacked, dreals, lcap)
         return ctx
 
     def _finish_chunk(self, ctx):
@@ -913,11 +960,19 @@ class BatchSearcher:
             node, the reference's result is the seed's own inter-goal
             chain — extracted LAZILY (the fallback fires rarely; the
             extra traceback + transfer would otherwise tax every chunk)."""
-            dn2, dp2, dr2, dl2 = extract_chains(
-                trace3, treal, res["inter_idx"]
-            )
+            if "row_of" in res:
+                dn2, dp2, dr2, dl2 = extract_chains_windows(
+                    trace3, treal, res["row_of"], res["tstart"],
+                    res["inter_idx"], _refill_win(ctx["cfg"]),
+                )
+                cap2 = dn2.shape[1]
+            else:
+                dn2, dp2, dr2, dl2 = extract_chains(
+                    trace3, treal, res["inter_idx"]
+                )
+                cap2 = Tc
             lmax2 = min(
-                Tc, _round_up_pow2(max(int(np.asarray(dl2).max()), 64))
+                cap2, _round_up_pow2(max(int(np.asarray(dl2).max()), 64))
             )
             if dr2.dtype == jnp.float32:
                 arr2 = np.asarray(_slice_stack_f32(dn2, dp2, dr2, lmax2))

@@ -103,6 +103,7 @@ __all__ = [
     "WavefrontConfig",
     "wavefront_search_merged",
     "extract_chains",
+    "extract_chains_windows",
 ]
 
 
@@ -310,6 +311,20 @@ class WavefrontConfig:
     # None = auto (hop tables unless the graph exceeds the HBM threshold);
     # False forces the raw 3-gather kernel path
     precompute_hops: bool | None = None
+    # ---- seed refill (continuous batching): rows > 0 runs the lockstep
+    # loop over `rows` RESIDENT rows instead of one row per (seed,
+    # direction) item. When a row's item finishes (goal accepted, cache
+    # hit, frontier exhausted, or `item_cap` steps of residence), its
+    # result registers are flushed to a per-item output table and the next
+    # queued item is loaded into the row — the batch analogue of the
+    # reference's `omp schedule(dynamic,1)` over seeds (search.cpp:184-188),
+    # which never idles a thread. rows == 0 keeps the legacy one-row-per-
+    # item layout (bit-compatible with the serial-oracle tests).
+    rows: int = 0
+    item_cap: int = 0  # per-item step budget under refill (0 = max_steps);
+    # items that exceed it are flushed as deferred, exactly like a legacy
+    # chunk hitting its max_steps — the runner's escalation ladder re-runs
+    # them at the deep/exact tiers
     dtype: object = jnp.float32
 
 
@@ -396,6 +411,56 @@ def extract_chains(trace3, treal, start_idx):
     )
 
 
+@partial(jax.jit, static_argnames=("WIN",))
+def extract_chains_windows(trace3, treal, rows, tstart, start_idx, WIN: int):
+    """Per-ITEM chain extraction for refill-mode runs.
+
+    Under refill, several items share one row's trace arena over time; item
+    q's records live in row rows[q] inside its residence window
+    [tstart[q], tstart[q] + WIN) (WIN = (item_cap + 2) * B covers the
+    longest possible residence). One vmapped dynamic_slice gathers each
+    item's window, then the same backward parent sweep + stable sort as
+    extract_chains runs on [Q, WIN] — parent pointers stay ABSOLUTE trace
+    positions, so the sweep compares against t0 + column. start_idx < 0
+    (never-dequeued items) yields an empty chain."""
+    S, _, T = trace3.shape
+    t0 = jnp.clip(tstart, 0, max(T - WIN, 0))
+    rr = jnp.clip(rows, 0, S - 1)
+
+    def one(r, t):
+        z = jnp.zeros((), r.dtype)
+        i3 = jax.lax.dynamic_slice(trace3, (r, z, t), (1, 3, WIN))[0]
+        f1 = jax.lax.dynamic_slice(treal, (r, t), (1, WIN))[0]
+        return i3, f1
+
+    sub3, subf = jax.vmap(one)(rr, t0)  # [Q, 3, WIN], [Q, WIN]
+    parentT = jnp.transpose(sub3[:, 2])  # [WIN, Q]
+    js = jnp.arange(WIN - 1, -1, -1, dtype=jnp.int32)
+
+    def step(w, x):
+        pcol, j = x
+        t_abs = t0 + j
+        hit = w == t_abs
+        nxt = jnp.where(hit, jnp.where(pcol == t_abs, -1, pcol), w)
+        return nxt, hit
+
+    _, hitsT = jax.lax.scan(step, start_idx, (parentT[::-1], js), unroll=8)
+    on = jnp.transpose(hitsT)[:, ::-1]  # [Q, WIN], window-position ascending
+    jj = jnp.arange(WIN, dtype=jnp.int32)[None, :]
+    key = jnp.where(on, -jj, INT_MAX32)
+    k, nodes, packed, reals = jax.lax.sort(
+        (key, sub3[:, 0], sub3[:, 1], subf),
+        dimension=1, num_keys=1, is_stable=True,
+    )
+    valid = k != INT_MAX32
+    return (
+        jnp.where(valid, nodes, -1),
+        jnp.where(valid, packed, -1),
+        jnp.where(valid, reals, 0.0),
+        valid.sum(axis=1, dtype=jnp.int32),
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("config", "model_length"),
@@ -403,9 +468,9 @@ def extract_chains(trace3, treal, start_idx):
 def wavefront_search_merged(
     graph: DeviceGraph,
     hmm: DeviceHMM,  # direction-stacked tables [2, ...] (DeviceHMM.stack)
-    dirs: jnp.ndarray,  # [S] int32: 0 = forward HMM, 1 = reverse HMM
-    start_ints: jnp.ndarray,  # [S, 8] int32 initial nodes
-    start_floats: jnp.ndarray,  # [S, 3] dtype
+    dirs: jnp.ndarray,  # [Q] int32: 0 = forward HMM, 1 = reverse HMM
+    start_ints: jnp.ndarray,  # [Q, 8] int32 initial nodes
+    start_floats: jnp.ndarray,  # [Q, 3] dtype
     config: WavefrontConfig,
     model_length: int,
     cache_tab: jnp.ndarray | None = None,  # [2*HB, 16] bucketized cache
@@ -414,19 +479,38 @@ def wavefront_search_merged(
     # stay sized by the static config.max_steps)
     act_thresh: jnp.ndarray | None = None,  # [] int32: stop the lockstep
     # loop once <= this many ROWS are still active (the survivors are
-    # deferred by the runner; 0/None = run until none are active). This is
-    # the adaptive analogue of step_limit: a chunk stops exactly when it
-    # stops being productive instead of at a fixed depth.
+    # deferred by the runner; 0/None = run until none are active). Under
+    # refill the queue must also be drained: the loop continues while
+    # items remain to dequeue.
 ):
-    """Run S lockstep searches. Returns dict of results + trace arenas.
+    """Run Q lockstep searches. Returns dict of results + trace arenas.
+
+    Two scheduling modes (config.rows):
+      * legacy (rows == 0): one resident row per (seed, direction) item —
+        the loop runs until the act_thresh stopping rule, idling rows
+        whose searches finished early.
+      * seed refill (0 < rows < Q): `rows` resident rows stream the item
+        queue; a finished row's result registers are scattered to a
+        per-item output table and the next queued item is loaded into the
+        row in the same step (pool row cleared, new start appended as an
+        extra candidate-block column). This is the batch analogue of the
+        reference's `omp schedule(dynamic,1)` over seeds
+        (src/search.cpp:184-188): no row ever idles while work remains.
+        Per-item semantics are identical — each item sees exactly the
+        same per-row pool/selection/expansion mechanics, and items that
+        exceed config.item_cap residence steps are flushed as deferred
+        (the ladder re-runs them), matching a legacy chunk's max_steps.
 
     Data-movement design: every step appends a full CAND-slot block at the
     SAME offset for all seeds (invalid slots are stored dead), and traces
     the B selected nodes at slot 1 + step*B. All pool writes are therefore
     dynamic_update_slice with scalar offsets plus one full-width masked
-    fval rewrite (the identity kill) — no scatters in the loop.
+    fval rewrite (the identity kill) — no scatters in the loop (refill
+    adds ONE masked [rows, 16] scatter of finished items' registers).
     """
-    S = start_ints.shape[0]
+    Q = start_ints.shape[0]  # (seed, direction) items
+    REFILL = 0 < config.rows < Q
+    S = config.rows if REFILL else Q  # resident lockstep rows
     P = config.pool_size
     B = config.expand_width
     dt = config.dtype
@@ -439,11 +523,13 @@ def wavefront_search_merged(
         if (B > 1 and config.cand_cap > 0)
         else CAND0
     )
+    CANDW = CAND + (1 if REFILL else 0)  # + the refill-start column
     T = config.max_steps * B + 1
     BL = 128
     NB = P // BL
+    item_cap = config.item_cap or config.max_steps
 
-    assert P % BL == 0 and CAND < P, (P, CAND)
+    assert P % BL == 0 and CANDW < P, (P, CANDW)
     assert B <= NB, "expand_width must be <= pool_size/128"
     assert L <= 4094, "model_length exceeds the 12-bit state_no packing"
     assert config.prune_len <= 62, "prune_len exceeds the 6-bit neg packing"
@@ -460,23 +546,6 @@ def wavefront_search_merged(
     c3 = jnp.arange(64, dtype=jnp.int32) % 4
     ne64 = (c1 << 6) | (c2 << 3) | c3
 
-    # ---- pool state: seven SEPARATE [S, P] planes — fval (INT_MIN =
-    # dead/empty slot), ia (node id), ibx (packed state|state_no|neg|codon),
-    # lpx (packed parent+1|length), and three score planes. v2 grouped
-    # ia/ibx/lpx and the scores into [S, 3, P] blocks; XLA tiled those
-    # T(4,128) while the select kernel wanted T(8,128) flat rows, so every
-    # step paid two 50 MB relayout reshapes plus copying appends (profiled
-    # at ~0.6 ms/step of the ~1.8 ms total). Separate planes reshape into
-    # the kernel's row tiles for free and every append is a small in-place
-    # dynamic_update_slice.
-    fval = jnp.full((S, P), INT_MIN32, jnp.int32)
-    pia = jnp.zeros((S, P), jnp.int32)
-    pibx = jnp.zeros((S, P), jnp.int32)
-    plpx = jnp.zeros((S, P), jnp.int32)
-    psc = jnp.zeros((S, P), dt)
-    pre = jnp.zeros((S, P), dt)
-    pmx = jnp.zeros((S, P), dt)
-
     def pack_ibx(state, state_no, neg, ne):
         return (
             state
@@ -488,44 +557,112 @@ def wavefront_search_merged(
     def pack_lpx(parent, length):
         return (parent + 1) | (jnp.minimum(length, 2047) << LEN_SHIFT)
 
-    # seed pool with the start nodes at slot 0
-    s_node = start_ints[:, NI_NODE]
-    s_sno = start_ints[:, NI_STATE_NO]
-    s_state = start_ints[:, NI_STATE]
-    s_ibx = pack_ibx(s_state, s_sno, start_ints[:, NI_NEG], start_ints[:, NI_NE])
-    s_lpx = pack_lpx(start_ints[:, NI_PARENT], start_ints[:, NI_LEN])
+    # ---- pool state: seven SEPARATE [S, P] planes — fval (INT_MIN =
+    # dead/empty slot), ia (node id), ibx (packed state|state_no|neg|codon),
+    # lpx (packed parent+1|length), and three score planes (see module
+    # docstring for why the planes are separate).
+    fval = jnp.full((S, P), INT_MIN32, jnp.int32)
+    pia = jnp.zeros((S, P), jnp.int32)
+    pibx = jnp.zeros((S, P), jnp.int32)
+    plpx = jnp.zeros((S, P), jnp.int32)
+    psc = jnp.zeros((S, P), dt)
+    pre = jnp.zeros((S, P), dt)
+    pmx = jnp.zeros((S, P), dt)
+
+    # initial residents: items 0..S-1 (legacy: every item)
+    ri = start_ints[:S]
+    rf = start_floats[:S]
+    s_node = ri[:, NI_NODE]
+    s_sno = ri[:, NI_STATE_NO]
+    s_state = ri[:, NI_STATE]
+    s_ibx = pack_ibx(s_state, s_sno, ri[:, NI_NEG], ri[:, NI_NE])
+    s_lpx = pack_lpx(ri[:, NI_PARENT], ri[:, NI_LEN])
     has_start = s_node >= 0
     fval = fval.at[:, 0].set(
-        jnp.where(has_start, jnp.maximum(start_ints[:, NI_FVAL], INT_MIN32 + 2),
+        jnp.where(has_start, jnp.maximum(ri[:, NI_FVAL], INT_MIN32 + 2),
                   INT_MIN32)
     )
     pia = pia.at[:, 0].set(s_node)
     pibx = pibx.at[:, 0].set(s_ibx)
     plpx = plpx.at[:, 0].set(s_lpx)
-    psc = psc.at[:, 0].set(start_floats[:, NF_SCORE])
-    pre = pre.at[:, 0].set(start_floats[:, NF_REAL])
-    pmx = pmx.at[:, 0].set(start_floats[:, NF_MAX])
-    next_free = jnp.ones((), jnp.int32)  # shared by all seeds (see above)
+    psc = psc.at[:, 0].set(rf[:, NF_SCORE])
+    pre = pre.at[:, 0].set(rf[:, NF_REAL])
+    pmx = pmx.at[:, 0].set(rf[:, NF_MAX])
 
     # ---- trace arenas (one record per selected node per step):
     # trace3 [S, 3, T] = (node, packed ne|state|state_no, parent), treal
     trace3 = jnp.zeros((S, 3, T), jnp.int32)
     treal = jnp.zeros((S, T), dt)
-    trace_len = jnp.zeros((S,), jnp.int32)
 
-    active = jnp.ones((S,), bool)
-    done_partial = jnp.zeros((S,), bool)
-    goal_idx = jnp.full((S,), -1, jnp.int32)  # trace idx of accepted goal
-    # the start node (trace slot 0) is the initial inter goal
-    inter_idx = jnp.zeros((S,), jnp.int32)
-    inter_val = jnp.full((S,), NEG, dt)
-    overflow = jnp.zeros((S,), bool)
-    expansions = jnp.zeros((), jnp.int32)
-    cached_entry = jnp.full((S,), -1, jnp.int32)  # host cache entry on hit
-    cached_at = jnp.full((S,), -1, jnp.int32)  # trace pos of the hit node
+    carry = {
+        "fval": fval, "pia": pia, "pibx": pibx, "plpx": plpx,
+        "psc": psc, "pre": pre, "pmx": pmx,
+        "trace3": trace3, "treal": treal,
+        "trace_len": jnp.zeros((S,), jnp.int32),
+        "active": jnp.ones((S,), bool),
+        "dirs": dirs[:S].astype(jnp.int32),
+        "done_partial": jnp.zeros((S,), bool),
+        "goal_idx": jnp.full((S,), -1, jnp.int32),
+        "inter_idx": jnp.zeros((S,), jnp.int32),
+        "inter_val": jnp.full((S,), NEG, dt),
+        "overflow": jnp.zeros((S,), bool),
+        "expansions": jnp.zeros((), jnp.int32),
+        "cached_entry": jnp.full((S,), -1, jnp.int32),
+        "cached_at": jnp.full((S,), -1, jnp.int32),
+        "next_free": jnp.ones((), jnp.int32),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    if REFILL:
+        negbits = int(np.float32(NEG).view(np.int32))
+        init_row = np.zeros(16, np.int32)
+        init_row[[0, 1, 2, 3]] = -1  # goal, inter, cached_entry, cached_at
+        init_row[4] = 1  # active/deferred until flushed
+        init_row[6] = negbits  # inter_val f32 bits
+        carry.update(
+            r_item=jnp.arange(S, dtype=jnp.int32),
+            r_steps=jnp.zeros((S,), jnp.int32),
+            r_tstart=jnp.ones((S,), jnp.int32),  # first step's tpos
+            head=jnp.asarray(S, jnp.int32),
+            outm=jnp.broadcast_to(jnp.asarray(init_row), (Q, 16)),
+        )
+        # refill mode inits inter to "nothing yet": the start node sets it
+        # when selected+traced (strict > then matches the reference's
+        # start-initialized inter exactly; see runner traceback notes)
+        carry["inter_val"] = jnp.full((S,), NEG, dt)
+        carry["inter_idx"] = jnp.full((S,), -1, jnp.int32)
+    else:
+        # legacy: record the start as trace slot 0 (immediate-goal seeds'
+        # whole chain; also the initial inter goal)
+        start_is_goal = s_sno >= L
+        trace3 = carry["trace3"].at[:, 0, 0].set(s_node)
+        trace3 = trace3.at[:, 1, 0].set(
+            ri[:, NI_NE] | (s_state << 9) | (s_sno << 11)
+        )
+        trace3 = trace3.at[:, 2, 0].set(ri[:, NI_PARENT])
+        carry["trace3"] = trace3
+        carry["treal"] = carry["treal"].at[:, 0].set(rf[:, NF_REAL])
+        carry["trace_len"] = jnp.where(start_is_goal, 1, carry["trace_len"])
+        carry["goal_idx"] = jnp.where(start_is_goal, 0, carry["goal_idx"])
+        carry["active"] = carry["active"] & ~start_is_goal
+        # the start node is also the initial inter goal (reference inits
+        # inter_goal_ptr = &starting_node)
+        carry["inter_val"] = jnp.where(
+            carry["active"],
+            rf[:, NF_REAL] + _exit_prob(ri[:, NI_LEN], dt),
+            carry["inter_val"],
+        )
 
-    # immediate goal: start already past the model end (hmm_graph_search.h:193)
-    start_is_goal = s_sno >= L
+    if cache_tab is None:
+        cache_tab = jnp.full((2 * 8, 16), -1, jnp.int32)
+    max_steps_d = jnp.asarray(config.max_steps, jnp.int32)
+    if step_limit is not None:
+        max_steps_d = jnp.minimum(max_steps_d, step_limit.astype(jnp.int32))
+    act_thresh_d = (
+        jnp.zeros((), jnp.int32)
+        if act_thresh is None
+        else act_thresh.astype(jnp.int32)
+    )
+    item_cap_d = jnp.asarray(item_cap, jnp.int32)
 
     def select_lex(fval, ibx, active):
         """Exact lexicographic (fval, -state_no, state-rank) argmax; ties ->
@@ -588,7 +725,9 @@ def wavefront_search_merged(
         .h:65). inputs [N] -> packed candidate fields [N, 2W+1] + valid.
         N = S * B. Per node this costs ONE graph-row gather + ONE fused
         scoring-row fetch (hsuper one-hot matmul); everything else is
-        fused elementwise math.
+        fused elementwise math. skip_prune [N]: the node is a START (its
+        expansion is unpruned, hmm_graph_search.h:217-234) — under refill
+        starts appear at arbitrary steps, so the flag is per node.
         """
         N = node.shape[0]
         next_state = jnp.minimum(state_no + 1, L)
@@ -721,13 +860,13 @@ def wavefront_search_merged(
         )
         valid = jnp.concatenate([m_valid, i_valid, d_valid[:, None]], axis=1)
 
-        # pruning (hmm_graph_search.h:292-310); the start node's expansion is
+        # pruning (hmm_graph_search.h:292-310); start-node expansions are
         # pushed unpruned in the reference (hmm_graph_search.h:217-234)
         if config.prune_len > 0:
             keep = ((cand_len < 5) | (cand_neg <= config.prune_len)) & (
                 cand_real > 0.0
             )
-            valid = valid & (keep | skip_prune)
+            valid = valid & (keep | skip_prune[:, None])
 
         c_ibx = pack_ibx(cand_state, cand_state_no, cand_neg, cand_ne)
         c_lpx = pack_lpx(
@@ -762,7 +901,26 @@ def wavefront_search_merged(
             val = jnp.where((val < 0) & hit, row[:, 8 + s], val)
         return val
 
-    def compact(carry):
+    def pack_regs(c, act_col):
+        """[S, 16] register block for the per-item output scatter: cols
+        0-6 mirror the legacy meta layout (goal, inter_idx, cached_entry,
+        cached_at, active/deferred, overflow, inter_val f32 bits), col 7 =
+        row, col 8 = residence-window start."""
+        iv = jax.lax.bitcast_convert_type(
+            c["inter_val"].astype(jnp.float32), jnp.int32
+        )
+        pk = jnp.stack(
+            [
+                c["goal_idx"], c["inter_idx"], c["cached_entry"],
+                c["cached_at"], act_col,
+                c["overflow"].astype(jnp.int32), iv,
+                jnp.arange(S, dtype=jnp.int32), c["r_tstart"],
+            ],
+            axis=1,
+        )
+        return jnp.pad(pk, ((0, 0), (0, 7)))
+
+    def compact(c):
         """Squeeze alive entries (best fval first) to the row fronts.
 
         The payload rides through one multi-operand lax.sort — TPU sorts
@@ -770,39 +928,29 @@ def wavefront_search_merged(
         are ~100x slower than the sort itself). Entries beyond the append
         headroom are evicted worst-first (rare; flagged per seed via
         `overflow`)."""
-        (
-            fval, pia, pibx, plpx, psc, pre, pmx,
-            trace3, treal, trace_len,
-            active, done_partial, goal_idx, inter_idx, inter_val, overflow,
-            expansions, cached_entry, cached_at, next_free, step,
-        ) = carry
-        key = jnp.where(fval > INT_MIN32, -fval, INT_MAX32)
+        key = jnp.where(c["fval"] > INT_MIN32, -c["fval"], INT_MAX32)
         key, pia, pibx, plpx, psc, pre, pmx = jax.lax.sort(
-            (key, pia, pibx, plpx, psc, pre, pmx),
+            (key, c["pia"], c["pibx"], c["plpx"], c["psc"], c["pre"], c["pmx"]),
             dimension=1, num_keys=1, is_stable=True,
         )
         alive_s = key != INT_MAX32
         counts = alive_s.sum(axis=-1).astype(jnp.int32)
-        overflow = overflow | (counts > P - CAND)
-        keep = jnp.arange(P, dtype=jnp.int32)[None, :] < P - CAND
+        overflow = c["overflow"] | (counts > P - CANDW)
+        keep = jnp.arange(P, dtype=jnp.int32)[None, :] < P - CANDW
         fval = jnp.where(alive_s & keep, -key, INT_MIN32)
-        next_free = jnp.minimum(jnp.max(counts), P - CAND)
-        return (
-            fval, pia, pibx, plpx, psc, pre, pmx,
-            trace3, treal, trace_len,
-            active, done_partial, goal_idx, inter_idx, inter_val, overflow,
-            expansions, cached_entry, cached_at, next_free, step,
+        next_free = jnp.minimum(jnp.max(counts), P - CANDW)
+        return dict(
+            c, fval=fval, pia=pia, pibx=pibx, plpx=plpx, psc=psc, pre=pre,
+            pmx=pmx, overflow=overflow, next_free=next_free,
         )
 
-    def body(carry):
-        (
-            fval, pia, pibx, plpx, psc, pre, pmx,
-            trace3, treal, trace_len,
-            active, done_partial, goal_idx, inter_idx, inter_val, overflow,
-            expansions, cached_entry, cached_at, next_free, step,
-        ) = carry
-        ia, ibx, lpx = pia, pibx, plpx
-        fsc, fre, fmx = psc, pre, pmx
+    def body(c):
+        fval, ia, ibx, lpx = c["fval"], c["pia"], c["pibx"], c["plpx"]
+        fsc, fre, fmx = c["psc"], c["pre"], c["pmx"]
+        active = c["active"]
+        dirs_c = c["dirs"]
+        step = c["step"]
+        act0 = active  # busy rows at body entry (refill flush detection)
 
         from ..ops.pallas.step_select import select_fits
 
@@ -817,16 +965,16 @@ def wavefront_search_merged(
                 fval, sel, sel_valid, any_alive, is_goal,
                 ia_s, ibx_s, lpx_s, sc_s, re_s, mx_s,
             ) = step_select_kill(
-                fval, pia, pibx, plpx, psc, pre, pmx, active,
+                fval, ia, ibx, lpx, fsc, fre, fmx, active,
                 B, L, interpret=jax.default_backend() != "tpu",
             )
             newly_exhausted = active & ~any_alive
-            done_partial = done_partial | newly_exhausted
+            done_partial = c["done_partial"] | newly_exhausted
             active = active & any_alive
         else:
             sel1, any_alive = select_lex(fval, ibx, active)
             newly_exhausted = active & ~any_alive
-            done_partial = done_partial | newly_exhausted
+            done_partial = c["done_partial"] | newly_exhausted
             active = active & any_alive
 
             ibx1 = jnp.take_along_axis(ibx, sel1[:, None], axis=1)[:, 0]
@@ -869,7 +1017,7 @@ def wavefront_search_merged(
                 )
             fval = jnp.where(dead, INT_MIN32, fval)
 
-        tpos = 1 + step * B  # slot 0 = start node
+        tpos = 1 + step * B  # slot 0 = start node (legacy) / zero sentinel
         slot_pos_c = tpos + jnp.broadcast_to(
             jnp.arange(B, dtype=jnp.int32)[None, :], (S, B)
         )
@@ -878,18 +1026,19 @@ def wavefront_search_merged(
         # ---- goal acceptance (active_pre feeds the inter-goal update: the
         # goal/cache-hit step's own records still compete for the inter goal)
         active_pre = active
-        goal_idx = jnp.where(is_goal, slot_pos_c[:, 0], goal_idx)
+        goal_idx = jnp.where(is_goal, slot_pos_c[:, 0], c["goal_idx"])
         active = active & ~is_goal
 
         # ---- path-cache short-circuit: probe ALL B frontier ranks (the
         # reference probes its term-node memo at EVERY pop,
         # hmm_graph_search.h:279-286; ranks 0..B-1 are the next B pops in
         # serial order, and the lowest-rank hit wins)
+        cached_entry, cached_at = c["cached_entry"], c["cached_at"]
         if config.use_cache:
             hv = probe_cache(
                 ia_s.reshape(S * B),
                 ibx_s.reshape(S * B) & IDENT_MASK,
-                jnp.repeat(dirs, B, total_repeat_length=S * B),
+                jnp.repeat(dirs_c, B, total_repeat_length=S * B),
             ).reshape(S, B)
             hv = jnp.where(sel_valid & (hv >= 0), hv, -1)
             hit_b = jnp.argmax(hv >= 0, axis=1).astype(jnp.int32)
@@ -906,7 +1055,7 @@ def wavefront_search_merged(
             active = active & ~hit
 
         expand_mask = sel_valid & ~is_goal[:, None] & active[:, None]
-        trace_len = trace_len + sel_valid.sum(axis=1, dtype=jnp.int32)
+        trace_len = c["trace_len"] + sel_valid.sum(axis=1, dtype=jnp.int32)
 
         # ---- trace records + inter-goal candidate (small [S, B] math)
         s_sno = (ibx_s >> 2) & 0xFFF
@@ -923,10 +1072,15 @@ def wavefront_search_merged(
         best_ev = jnp.take_along_axis(ev, best_b[:, None], axis=1)[:, 0]
         best_pos = tpos + best_b.astype(jnp.int32)
 
+        # starts are identified per node by a zero parent field (their
+        # expansion is unpruned; under refill they occur at any step)
+        root_flat = ((lpx_s & PARENT_MASK) == 0).reshape(S * B)
+
         use_k2 = (
             config.use_pallas_expand and graph.pt is not None
             and (S * B) % 8 == 0
         )
+        expansions = c["expansions"]
         if use_k2:
             # ---- fused expansion kernel
             from ..ops.pallas.step_expand import step_expand
@@ -934,7 +1088,7 @@ def wavefront_search_merged(
             pt_rows = graph.pt[
                 jnp.clip(ia_s.reshape(S * B), 0, graph.num_rows - 1)
             ]
-            ndir = jnp.repeat(dirs, B, total_repeat_length=S * B)
+            ndir = jnp.repeat(dirs_c, B, total_repeat_length=S * B)
             (c_fval, c_ia, c_ibx, c_lpx, c_sc, c_re, c_mx, counts) = step_expand(
                 pt_rows, hmm.hsuper,
                 ia_s.reshape(S * B), ibx_s.reshape(S * B),
@@ -942,7 +1096,6 @@ def wavefront_search_merged(
                 sc_s.reshape(S * B), re_s.reshape(S * B), mx_s.reshape(S * B),
                 expand_mask.reshape(S * B), ndir,
                 slot_pos_c.reshape(S * B),
-                step == 0,
                 W, L, config.prune_len,
                 -math.log(config.low_cov_penalty), int(AA_STOP),
                 interpret=jax.default_backend() != "tpu",
@@ -951,7 +1104,7 @@ def wavefront_search_merged(
             cvalid = c_fval > INT_MIN32  # kernel stores dead slots INT_MIN
         else:
             # ---- expand
-            ndir = jnp.repeat(dirs, B, total_repeat_length=S * B)
+            ndir = jnp.repeat(dirs_c, B, total_repeat_length=S * B)
             c_fval, c_ia, c_ibx, c_lpx, c_sc, c_re, c_mx, cvalid = expand(
                 ia_s.reshape(S * B),
                 s_state.reshape(S * B),
@@ -963,7 +1116,7 @@ def wavefront_search_merged(
                 mx_s.reshape(S * B),
                 slot_pos_c.reshape(S * B),
                 ndir,
-                step == 0,
+                root_flat,
             )
             cvalid = cvalid & expand_mask.reshape(S * B)[:, None]
             expansions = expansions + cvalid.sum(dtype=jnp.int32)
@@ -977,6 +1130,7 @@ def wavefront_search_merged(
         c_mx = c_mx.reshape(S, CAND0)
         cvalid = cvalid.reshape(S, CAND0)
 
+        overflow = c["overflow"]
         # ---- candidate compression (turbo): keep top-CAND by fval. Most
         # of the CAND0 slots are dead (dBG out-degree ~1 -> ~5 valid per
         # expansion), so this makes the pool fill ~CAND0/CAND x slower and
@@ -1001,114 +1155,189 @@ def wavefront_search_merged(
             cvalid, jnp.maximum(c_fval, INT_MIN32 + 2), INT_MIN32
         )
 
-        # ---- trace append at the step's fixed block (scatter-free)
-        trace3 = jax.lax.dynamic_update_slice(trace3, tr_i, (zero, zero, tpos))
-        treal = jax.lax.dynamic_update_slice(treal, tr_f, (zero, tpos))
-
         # ---- inter-goal update
+        inter_val, inter_idx = c["inter_val"], c["inter_idx"]
         better = active_pre & (best_ev > inter_val)
         inter_val = jnp.where(better, best_ev, inter_val)
         inter_idx = jnp.where(better, best_pos, inter_idx)
 
+        out = dict(
+            c, fval=fval, trace_len=trace_len, active=active,
+            done_partial=done_partial, goal_idx=goal_idx,
+            inter_idx=inter_idx, inter_val=inter_val, overflow=overflow,
+            expansions=expansions, cached_entry=cached_entry,
+            cached_at=cached_at,
+        )
+
+        if REFILL:
+            # ---- per-item step budget: items exceeding item_cap residence
+            # steps are flushed as DEFERRED (the ladder re-runs them)
+            r_steps = c["r_steps"] + act0.astype(jnp.int32)
+            capped = active & (r_steps >= item_cap_d)
+            active = active & ~capped
+            fin = act0 & ~active  # finished (goal/hit/exhaust) or capped
+            out["active"] = active
+            out["r_steps"] = r_steps
+
+            # flush finished items' registers into the per-item table
+            tmp = dict(
+                out, goal_idx=goal_idx, inter_idx=inter_idx,
+                inter_val=inter_val, cached_entry=cached_entry,
+                cached_at=cached_at, overflow=overflow,
+                r_tstart=c["r_tstart"],
+            )
+            pkr = pack_regs(tmp, capped.astype(jnp.int32))
+            idx_t = jnp.where(fin, c["r_item"], Q)
+            out["outm"] = c["outm"].at[idx_t].set(pkr, mode="drop")
+            r_item = jnp.where(fin, -1, c["r_item"])
+
+            # flushed rows' pool entries + any still-live final candidates
+            # die with the item
+            fval = jnp.where(fin[:, None], INT_MIN32, fval)
+            c_fval = jnp.where(fin[:, None], INT_MIN32, c_fval)
+            out["fval"] = fval
+
+            # ---- refill: pop the next queued items into idle rows
+            idle = r_item < 0
+            rank = jnp.cumsum(idle.astype(jnp.int32)) - 1
+            new_item = c["head"] + rank
+            take_r = idle & (new_item < Q)
+            ni = jnp.clip(new_item, 0, Q - 1)
+            nsi = start_ints[ni]  # [S, 8] row gathers
+            nsf = start_floats[ni]
+            ndirs = dirs[ni].astype(jnp.int32)
+            out["head"] = c["head"] + take_r.sum(dtype=jnp.int32)
+            out["r_item"] = jnp.where(take_r, new_item, r_item)
+            out["dirs"] = jnp.where(take_r, ndirs, dirs_c)
+            out["r_steps"] = jnp.where(take_r, 0, r_steps)
+            out["r_tstart"] = jnp.where(take_r, tpos + B, c["r_tstart"])
+            out["active"] = active | take_r
+            rst = lambda a, v: jnp.where(take_r, v, a)  # noqa: E731
+            out["goal_idx"] = rst(goal_idx, -1)
+            out["inter_idx"] = rst(inter_idx, -1)
+            out["inter_val"] = jnp.where(
+                take_r, jnp.asarray(NEG, dt), inter_val
+            )
+            out["cached_entry"] = rst(cached_entry, -1)
+            out["cached_at"] = rst(cached_at, -1)
+            out["overflow"] = jnp.where(take_r, False, overflow)
+
+            # the new start rides the candidate block as one extra column
+            nf_node = nsi[:, NI_NODE]
+            has = take_r & (nf_node >= 0)
+            rf_fval = jnp.where(
+                has, jnp.maximum(nsi[:, NI_FVAL], INT_MIN32 + 2), INT_MIN32
+            )
+            rf_ibx = pack_ibx(
+                nsi[:, NI_STATE], nsi[:, NI_STATE_NO], nsi[:, NI_NEG],
+                nsi[:, NI_NE],
+            )
+            rf_lpx = pack_lpx(nsi[:, NI_PARENT], nsi[:, NI_LEN])
+            c_fval = jnp.concatenate([c_fval, rf_fval[:, None]], axis=1)
+            c_ia = jnp.concatenate([c_ia, nf_node[:, None]], axis=1)
+            c_ibx = jnp.concatenate([c_ibx, rf_ibx[:, None]], axis=1)
+            c_lpx = jnp.concatenate([c_lpx, rf_lpx[:, None]], axis=1)
+            c_sc = jnp.concatenate(
+                [c_sc, nsf[:, NF_SCORE].astype(dt)[:, None]], axis=1
+            )
+            c_re = jnp.concatenate(
+                [c_re, nsf[:, NF_REAL].astype(dt)[:, None]], axis=1
+            )
+            c_mx = jnp.concatenate(
+                [c_mx, nsf[:, NF_MAX].astype(dt)[:, None]], axis=1
+            )
+
+        # ---- trace append at the step's fixed block (scatter-free)
+        out["trace3"] = jax.lax.dynamic_update_slice(
+            c["trace3"], tr_i, (zero, zero, tpos)
+        )
+        out["treal"] = jax.lax.dynamic_update_slice(
+            c["treal"], tr_f, (zero, tpos)
+        )
+
         # ---- append the whole candidate block at one shared offset
         # (per-plane in-place dynamic_update_slice writes, no scatters)
         dus = jax.lax.dynamic_update_slice
-        fval = dus(fval, c_fval, (zero, next_free))
-        pia = dus(pia, c_ia, (zero, next_free))
-        pibx = dus(pibx, c_ibx, (zero, next_free))
-        plpx = dus(plpx, c_lpx, (zero, next_free))
-        psc = dus(psc, c_sc, (zero, next_free))
-        pre = dus(pre, c_re, (zero, next_free))
-        pmx = dus(pmx, c_mx, (zero, next_free))
-        next_free = next_free + CAND
+        nfree = c["next_free"]
+        out["fval"] = dus(out["fval"], c_fval, (zero, nfree))
+        out["pia"] = dus(c["pia"], c_ia, (zero, nfree))
+        out["pibx"] = dus(c["pibx"], c_ibx, (zero, nfree))
+        out["plpx"] = dus(c["plpx"], c_lpx, (zero, nfree))
+        out["psc"] = dus(c["psc"], c_sc, (zero, nfree))
+        out["pre"] = dus(c["pre"], c_re, (zero, nfree))
+        out["pmx"] = dus(c["pmx"], c_mx, (zero, nfree))
+        out["next_free"] = nfree + CANDW
+        out["step"] = step + 1
+        return out
 
+    def more_work(c):
+        alive = c["active"].sum(dtype=jnp.int32)
+        m = alive > act_thresh_d
+        if REFILL:
+            m = m | (c["head"] < Q)
+        return m
+
+    def inner_cond(c):
         return (
-            fval, pia, pibx, plpx, psc, pre, pmx,
-            trace3, treal, trace_len,
-            active, done_partial, goal_idx, inter_idx, inter_val, overflow,
-            expansions, cached_entry, cached_at, next_free, step + 1,
+            more_work(c)
+            & (c["step"] < max_steps_d)
+            & (c["next_free"] + CANDW <= P)
         )
 
-    def inner_cond(carry):
-        active = carry[10]
-        next_free = carry[-2]
-        step = carry[-1]
-        return (
-            (active.sum(dtype=jnp.int32) > act_thresh_d)
-            & (step < max_steps_d)
-            & (next_free + CAND <= P)
-        )
+    def outer_body(c):
+        c = jax.lax.while_loop(inner_cond, body, c)
+        return compact(c)
 
-    def outer_body(carry):
-        carry = jax.lax.while_loop(inner_cond, body, carry)
-        return compact(carry)
+    def outer_cond(c):
+        return more_work(c) & (c["step"] < max_steps_d)
 
-    def outer_cond(carry):
-        active = carry[10]
-        step = carry[-1]
-        return (active.sum(dtype=jnp.int32) > act_thresh_d) & (
-            step < max_steps_d
-        )
-
-    # handle immediate-goal seeds: record start as trace[0]
-    trace3 = trace3.at[:, 0, 0].set(s_node)
-    trace3 = trace3.at[:, 1, 0].set(
-        start_ints[:, NI_NE]
-        | (s_state << 9)
-        | (s_sno << 11)
-    )
-    trace3 = trace3.at[:, 2, 0].set(start_ints[:, NI_PARENT])
-    treal = treal.at[:, 0].set(start_floats[:, NF_REAL])
-    trace_len = jnp.where(start_is_goal, 1, trace_len)
-    goal_idx = jnp.where(start_is_goal, 0, goal_idx)
-    active = active & ~start_is_goal
-    # the start node is also the initial inter goal (reference inits
-    # inter_goal_ptr = &starting_node)
-    inter_val = jnp.where(
-        active,
-        start_floats[:, NF_REAL] + _exit_prob(start_ints[:, NI_LEN], dt),
-        inter_val,
-    )
-
-    if cache_tab is None:
-        cache_tab = jnp.full((2 * 8, 16), -1, jnp.int32)
-    max_steps_d = jnp.asarray(config.max_steps, jnp.int32)
-    if step_limit is not None:
-        max_steps_d = jnp.minimum(max_steps_d, step_limit.astype(jnp.int32))
-    act_thresh_d = (
-        jnp.zeros((), jnp.int32)
-        if act_thresh is None
-        else act_thresh.astype(jnp.int32)
-    )
-
-    carry = (
-        fval, pia, pibx, plpx, psc, pre, pmx,
-        trace3, treal, trace_len,
-        active, done_partial, goal_idx, inter_idx, inter_val, overflow,
-        expansions, cached_entry, cached_at, next_free,
-        jnp.zeros((), jnp.int32),
-    )
     carry = jax.lax.while_loop(outer_cond, outer_body, carry)
-    (
-        fval, pia, pibx, plpx, psc, pre, pmx,
-        trace3, treal, trace_len,
-        active, done_partial, goal_idx, inter_idx, inter_val, overflow,
-        expansions, cached_entry, cached_at, next_free, steps,
-    ) = carry
+
+    if REFILL:
+        # final flush: rows still busy at the step cap -> their items are
+        # DEFERRED (active flag 1); rows idle flush nothing. Items never
+        # dequeued keep the init row (active flag 1) and are deferred too.
+        pkr = pack_regs(carry, jnp.ones((S,), jnp.int32))
+        idx_t = jnp.where(carry["r_item"] >= 0, carry["r_item"], Q)
+        outm = carry["outm"].at[idx_t].set(pkr, mode="drop")
+        meta = outm[:, :7]
+        return {
+            "trace3": carry["trace3"],
+            "treal": carry["treal"],
+            "trace_len": carry["trace_len"],
+            "goal_idx": outm[:, 0],
+            "inter_idx": outm[:, 1],
+            "done_partial": carry["done_partial"],
+            "overflow": outm[:, 5] != 0,
+            "expansions": carry["expansions"],
+            "steps": carry["step"],
+            "active": outm[:, 4] != 0,
+            "cached_entry": outm[:, 2],
+            "cached_at": outm[:, 3],
+            "row_of": outm[:, 7],
+            "tstart": outm[:, 8],
+            "meta": meta,
+            "scal": jnp.stack(
+                [
+                    carry["step"], carry["expansions"],
+                    (outm[:, 5] != 0).sum(dtype=jnp.int32),
+                ]
+            ),
+        }
 
     return {
-        "trace3": trace3,
-        "treal": treal,
-        "trace_len": trace_len,
-        "goal_idx": goal_idx,
-        "inter_idx": inter_idx,
-        "done_partial": done_partial,
-        "overflow": overflow,
-        "expansions": expansions,
-        "steps": steps,
-        "active": active,
-        "cached_entry": cached_entry,
-        "cached_at": cached_at,
+        "trace3": carry["trace3"],
+        "treal": carry["treal"],
+        "trace_len": carry["trace_len"],
+        "goal_idx": carry["goal_idx"],
+        "inter_idx": carry["inter_idx"],
+        "done_partial": carry["done_partial"],
+        "overflow": carry["overflow"],
+        "expansions": carry["expansions"],
+        "steps": carry["step"],
+        "active": carry["active"],
+        "cached_entry": carry["cached_entry"],
+        "cached_at": carry["cached_at"],
         # packed copies of the small outputs: on a tunneled TPU every
         # host fetch pays a ~30 ms round trip, so the runner reads ONE
         # [S, 4] row block + ONE scalar triple instead of seven arrays
@@ -1117,15 +1346,20 @@ def wavefront_search_merged(
         # reference's exit-prob acceptance against the cached walk
         "meta": jnp.stack(
             [
-                goal_idx, inter_idx, cached_entry, cached_at,
-                active.astype(jnp.int32), overflow.astype(jnp.int32),
+                carry["goal_idx"], carry["inter_idx"],
+                carry["cached_entry"], carry["cached_at"],
+                carry["active"].astype(jnp.int32),
+                carry["overflow"].astype(jnp.int32),
                 jax.lax.bitcast_convert_type(
-                    inter_val.astype(jnp.float32), jnp.int32
+                    carry["inter_val"].astype(jnp.float32), jnp.int32
                 ),
             ],
             1,
         ),
         "scal": jnp.stack(
-            [steps, expansions, overflow.sum(dtype=jnp.int32)]
+            [
+                carry["step"], carry["expansions"],
+                carry["overflow"].sum(dtype=jnp.int32),
+            ]
         ),
     }

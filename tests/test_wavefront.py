@@ -244,3 +244,61 @@ def test_wavefront_unequal_hmm_lengths(setup, tmp_path):
     assert not bs.merged
     got = bs.search([(s.nucl.lower(), s.model_pos - 1) for s in seeds[:n]])
     assert got == expected
+
+
+def test_wavefront_refill_matches_oracle(setup):
+    """Seed refill (continuous batching): rows < items, finished rows load
+    the next queued seed mid-run. Results must equal the serial oracle."""
+    sc, dbg, seeds, fwd, rev = setup
+    n = min(12, len(seeds))
+    expected = oracle_contigs(dbg, seeds, fwd, rev, n)
+    bs = BatchSearcher(
+        dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
+        WavefrontConfig(pool_size=1 << 12, max_steps=1 << 10, expand_width=4),
+        dtype=jnp.float64,
+        chunk=16,          # 32 items
+        refill_rows=16,    # over 16 resident rows -> at least one refill
+    )
+    assert bs.cfg_main.rows == 16 and bs.cfg_main.item_cap == bs.defer_steps
+    got = bs.search([(s.nucl.lower(), s.model_pos - 1) for s in seeds[:n]])
+    assert bs.last_stats["overflow"] == 0
+    assert got == expected
+
+
+def test_wavefront_refill_with_cache_matches_oracle(setup):
+    """Refill + cross-seed path cache + candidate compression (the
+    production configuration): still oracle-equal."""
+    sc, dbg, seeds, fwd, rev = setup
+    n = min(12, len(seeds))
+    expected = oracle_contigs(dbg, seeds, fwd, rev, n)
+    bs = BatchSearcher(
+        dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
+        WavefrontConfig(
+            pool_size=1 << 12, max_steps=1 << 10, expand_width=4,
+            cand_cap=96, use_cache=True,
+        ),
+        dtype=jnp.float64,
+        chunk=4,           # several chunks so the cache takes effect
+        refill_rows=16,    # wait: 2*chunk = 8 <= 16 -> clamped to Q, legacy
+    )
+    bs.refill_rows = 16
+    got = bs.search([(s.nucl.lower(), s.model_pos - 1) for s in seeds[:n]])
+    assert got == expected
+
+
+def test_wavefront_refill_tight_rows(setup):
+    """Many items through few rows (heavy refill traffic) with a small
+    per-item cap that forces deferrals into the escalation ladder."""
+    sc, dbg, seeds, fwd, rev = setup
+    n = min(12, len(seeds))
+    expected = oracle_contigs(dbg, seeds, fwd, rev, n)
+    bs = BatchSearcher(
+        dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
+        WavefrontConfig(pool_size=1 << 12, max_steps=1 << 10, expand_width=2),
+        dtype=jnp.float64,
+        chunk=n,           # all items in ONE chunk over 16 rows
+        refill_rows=16,
+        defer_steps=48,    # small residence budget -> deferrals happen
+    )
+    got = bs.search([(s.nucl.lower(), s.model_pos - 1) for s in seeds[:n]])
+    assert got == expected
