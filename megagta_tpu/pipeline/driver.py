@@ -234,29 +234,33 @@ class Pipeline:
         eng = self.opt.build_engine
         if eng == "host":
             return "host"
-        # mercy builds run on the device engine too (the solid mask streams
-        # on the host, counting/BOSS on device); the sharded engine has no
-        # mask plumbing yet and falls back to single-device
+        # mercy builds run on the device AND sharded engines (the solid
+        # mask streams on the host; counting/BOSS on device — the sharded
+        # engine ships the mask as a third sharded input)
         if eng in ("device", "sharded"):
-            if eng == "sharded" and mercy:
-                return "device"
             return eng
         import jax
 
-        # auto: keyspace-sharded counting across every local device (the
+        # auto: keyspace-sharded counting across every device (the
         # reference's parallel CX1 bucket pipeline, src/cx1.h:204-303);
-        # single-device builds use the plain device engine. Multi-host
-        # counting still runs per-host (reads are host-sliced upstream).
+        # under multihost the mesh is GLOBAL — each host streams its read
+        # slice and the prefix all_to_all crosses hosts. Single-device
+        # builds use the plain device engine.
         if jax.default_backend() == "cpu":
             return "host"
-        n = jax.local_device_count()
-        if n > 1 and (n & (n - 1)) == 0 and not self.multihost and not mercy:
+        n = jax.device_count() if self.multihost else jax.local_device_count()
+        if n > 1 and (n & (n - 1)) == 0:
             return "sharded"
         return "device"
 
     def build_graph(self, k: int, assist_file: str | None, lib_path: str) -> str:
         prefix = self.graph_prefix(k)
-        if self._step() and self.p0:
+        mercy = self.opt.min_count > 1 and not self.opt.no_mercy
+        if self._step() and self.multihost and self._build_engine(
+            mercy, 0
+        ) == "sharded":
+            self._build_graph_multihost(k, assist_file, lib_path, mercy, prefix)
+        elif self._step() and self.p0:
             pkg = load_read_lib(lib_path)
             num_assist = 0
             if assist_file and os.path.exists(assist_file):
@@ -264,7 +268,6 @@ class Pipeline:
                 assist = ReadPackage(flat, starts)
                 num_assist = assist.num_reads
                 pkg = ReadPackage.concat([pkg, assist])
-            mercy = self.opt.min_count > 1 and not self.opt.no_mercy
             engine = self._build_engine(mercy, num_assist)
             with self.timer.stage(f"buildgraph_k{k}"):
                 if mercy:
@@ -275,7 +278,16 @@ class Pipeline:
                         pkg, k, self.opt.min_count, num_assist,
                         batch_reads=br if pkg.num_reads > br else None,
                     )
-                    if engine in ("device", "sharded"):
+                    if engine == "sharded":
+                        from ..parallel.mesh import make_mesh
+                        from ..parallel.sharded_build import build_sdbg_sharded
+
+                        dbg = build_sdbg_sharded(
+                            make_mesh(axis="keys"), pkg, k,
+                            self.opt.min_count, solid_mask=solid,
+                            num_assist=num_assist,
+                        )
+                    elif engine == "device":
                         from ..graph.device_builder import build_sdbg_device
 
                         dbg = build_sdbg_device(
@@ -318,6 +330,70 @@ class Pipeline:
         self._sync(f"buildgraph_{k}")
         self._mark()
         return prefix
+
+    def _build_graph_multihost(
+        self, k: int, assist_file: str | None, lib_path: str,
+        mercy: bool, prefix: str,
+    ):
+        """Cross-host distributed SdBG construction (no process-0 funnel):
+        every process streams its HOST SLICE of the read lib into the
+        global-mesh keyspace-sharded counter; the prefix all_to_all routes
+        occurrences over ICI/DCN and the per-device distinct-edge shards
+        are allgathered, so all hosts hold the identical graph — the mesh
+        equivalent of the reference's parallel bucket partition
+        (cx1.h:204-303) with the file merge replaced by a collective.
+        Process 0 writes the graph files. The mercy mask still needs
+        GLOBAL window counts, so its derivation is a replicated host pass
+        over the full read set (cx1_read2sdbg_s2.cpp:106-250 semantics)."""
+        from ..parallel.dist import global_mesh, host_read_slice
+        from ..parallel.sharded_build import build_sdbg_sharded
+
+        pkg = load_read_lib(lib_path)
+        assist = None
+        if assist_file and os.path.exists(assist_file):
+            flat, starts, _ = parse_fastx_bytes(assist_file)
+            assist = ReadPackage(flat, starts)
+        n_assist = assist.num_reads if assist else 0
+        solid_full = None
+        if mercy:
+            from ..graph.mercy import solid_windows_with_mercy
+
+            full = ReadPackage.concat([pkg, assist]) if assist else pkg
+            br = self._batch_reads(full)
+            solid_full = solid_windows_with_mercy(
+                full, k, self.opt.min_count, n_assist,
+                batch_reads=br if full.num_reads > br else None,
+            )
+        lo, hi = host_read_slice(pkg.num_reads)
+        my = pkg.read_slice(lo, hi)
+        my_assist = 0
+        if assist is not None and self.p0:
+            # assist contigs are counted exactly once, on process 0's slice
+            my = ReadPackage.concat([my, assist])
+            my_assist = n_assist
+        my_solid = None
+        if solid_full is not None:
+            nwin = np.maximum(pkg.lengths - k, 0)
+            base = np.concatenate([[0], np.cumsum(nwin)])
+            my_solid = solid_full[base[lo] : base[hi]]
+            if my_assist:
+                # assist windows are always-solid; the padded-mask builder
+                # overwrites these rows, the values here are placeholders
+                aw = int(np.maximum(assist.lengths - k, 0).sum())
+                my_solid = np.concatenate([my_solid, np.zeros(aw, bool)])
+        with self.timer.stage(f"buildgraph_k{k}"):
+            dbg = build_sdbg_sharded(
+                global_mesh(), my, k, self.opt.min_count,
+                solid_mask=my_solid, num_assist=my_assist,
+            )
+            if self.p0:
+                dbg.save(prefix)
+                _write_counting_histogram(dbg, prefix + ".counting")
+        log(
+            f"k={k}: SdBG with {dbg.size} rows saved to {prefix} "
+            f"(sharded-global, {jax_process_info()})"
+        )
+        report_rusage(f"buildgraph k{k}")
 
     def denovo(self, k: int, min_contig: int):
         if self._step() and self.p0:
@@ -531,6 +607,12 @@ class Pipeline:
                 self.post_process(k)
         log(f"ALL DONE. Time elapsed: {self.timer.elapsed():.2f}s")
         return self.timer.laps
+
+
+def jax_process_info() -> str:
+    import jax
+
+    return f"process {jax.process_index()}/{jax.process_count()}"
 
 
 def _write_counting_histogram(dbg, path: str) -> None:

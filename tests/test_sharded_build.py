@@ -77,3 +77,37 @@ def test_driver_uses_sharded_engine(tmp_path):
     dbg = SdBG.load(f"{out}/k29/29")
     host = build_sdbg(make_package(sc["reads"]), 29)
     assert_sdbg_equal(host, dbg)
+
+
+def test_sharded_build_mercy_mask():
+    """Mercy builds through the sharded engine (VERDICT r4 missing #3):
+    the solid/mercy window mask rides the shard_map as a third sharded
+    input; the result is bit-equal to the host mercy build."""
+    from megagta_tpu.graph.mercy import solid_windows_with_mercy
+
+    sc = make_scenario(seed=45, gene_aa_len=60, read_len=60, read_step=2)
+    reads = sc["reads"] + sc["reads"][::3]
+    pkg = make_package(reads)
+    solid = solid_windows_with_mercy(pkg, 21, 2)
+    host = build_sdbg(pkg, 21, min_count=2, solid_mask=solid)
+    dev = build_sdbg_sharded(
+        make_mesh(8), pkg, 21, min_count=2, solid_mask=solid
+    )
+    assert_sdbg_equal(host, dev)
+
+
+def test_sharded_build_mercy_mask_with_assist():
+    """Mercy + assist contigs (always-solid trailing reads) through the
+    sharded engine."""
+    from megagta_tpu.graph.mercy import solid_windows_with_mercy
+
+    sc = make_scenario(seed=46, gene_aa_len=60, read_len=60, read_step=2)
+    reads = sc["reads"] + sc["reads"][::3] + [sc["gene"][:90]]
+    pkg = make_package(reads)
+    na = 1
+    solid = solid_windows_with_mercy(pkg, 21, 2, num_assist=na)
+    host = build_sdbg(pkg, 21, min_count=2, solid_mask=solid, num_assist=na)
+    dev = build_sdbg_sharded(
+        make_mesh(8), pkg, 21, min_count=2, solid_mask=solid, num_assist=na
+    )
+    assert_sdbg_equal(host, dev)
