@@ -118,7 +118,8 @@ def gate_contigs(ours: list, ref_contigs: list) -> dict:
             "mismatch_idx": mism[:20]}
 
 
-def measure_ours(meta, dbg, seeds, chunk=512):
+def measure_ours(meta, dbg, seeds, chunk=None):
+    chunk = chunk or int(os.environ.get("BENCH_CHUNK", 512))
     import jax
     import jax.numpy as jnp
 
@@ -154,6 +155,7 @@ def measure_ours(meta, dbg, seeds, chunk=512):
             dtype=jnp.float32,
             chunk=chunk,
             refill_rows=refill,
+            defer_steps=int(os.environ.get("BENCH_CAP", 256)),
         )
         if thresh:
             bs.main_thresh = thresh

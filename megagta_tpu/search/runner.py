@@ -508,7 +508,9 @@ class BatchSearcher:
             R = min(self.refill_rows, Qc)
             R = max(R - R % 16, 16)  # Pallas row tiles + (S*B) % 8
             cap = self.defer_steps or self.config.max_steps
-            steps_cap = (Qc * cap) // R + cap + 8
+            # chunk bound: every item at its full residence cap, serialized
+            # over the guaranteed-busy rows (R minus the idle-break window)
+            steps_cap = (Qc * cap) // max(R - R // 8, 1) + cap + 8
             self.cfg_main = dataclasses.replace(
                 self.config, rows=R, item_cap=cap, max_steps=steps_cap
             )

@@ -523,13 +523,15 @@ def wavefront_search_merged(
         if (B > 1 and config.cand_cap > 0)
         else CAND0
     )
-    CANDW = CAND + (1 if REFILL else 0)  # + the refill-start column
     T = config.max_steps * B + 1
     BL = 128
     NB = P // BL
     item_cap = config.item_cap or config.max_steps
+    IDLE_MAX = max(S // 8, 1)  # refill: inner loop breaks once this many
+    # rows sit idle while queue items remain (flush/refill run in the
+    # OUTER loop so the hot body carries zero refill overhead)
 
-    assert P % BL == 0 and CANDW < P, (P, CANDW)
+    assert P % BL == 0 and CAND + 1 < P, (P, CAND)
     assert B <= NB, "expand_width must be <= pool_size/128"
     assert L <= 4094, "model_length exceeds the 12-bit state_no packing"
     assert config.prune_len <= 62, "prune_len exceeds the 6-bit neg packing"
@@ -935,10 +937,10 @@ def wavefront_search_merged(
         )
         alive_s = key != INT_MAX32
         counts = alive_s.sum(axis=-1).astype(jnp.int32)
-        overflow = c["overflow"] | (counts > P - CANDW)
-        keep = jnp.arange(P, dtype=jnp.int32)[None, :] < P - CANDW
+        overflow = c["overflow"] | (counts > P - CAND - 1)
+        keep = jnp.arange(P, dtype=jnp.int32)[None, :] < P - CAND - 1
         fval = jnp.where(alive_s & keep, -key, INT_MIN32)
-        next_free = jnp.minimum(jnp.max(counts), P - CANDW)
+        next_free = jnp.minimum(jnp.max(counts), P - CAND - 1)
         return dict(
             c, fval=fval, pia=pia, pibx=pibx, plpx=plpx, psc=psc, pre=pre,
             pmx=pmx, overflow=overflow, next_free=next_free,
@@ -1170,82 +1172,11 @@ def wavefront_search_merged(
         )
 
         if REFILL:
-            # ---- per-item step budget: items exceeding item_cap residence
-            # steps are flushed as DEFERRED (the ladder re-runs them)
-            r_steps = c["r_steps"] + act0.astype(jnp.int32)
-            capped = active & (r_steps >= item_cap_d)
-            active = active & ~capped
-            fin = act0 & ~active  # finished (goal/hit/exhaust) or capped
-            out["active"] = active
-            out["r_steps"] = r_steps
-
-            # flush finished items' registers into the per-item table
-            tmp = dict(
-                out, goal_idx=goal_idx, inter_idx=inter_idx,
-                inter_val=inter_val, cached_entry=cached_entry,
-                cached_at=cached_at, overflow=overflow,
-                r_tstart=c["r_tstart"],
-            )
-            pkr = pack_regs(tmp, capped.astype(jnp.int32))
-            idx_t = jnp.where(fin, c["r_item"], Q)
-            out["outm"] = c["outm"].at[idx_t].set(pkr, mode="drop")
-            r_item = jnp.where(fin, -1, c["r_item"])
-
-            # flushed rows' pool entries + any still-live final candidates
-            # die with the item
-            fval = jnp.where(fin[:, None], INT_MIN32, fval)
-            c_fval = jnp.where(fin[:, None], INT_MIN32, c_fval)
-            out["fval"] = fval
-
-            # ---- refill: pop the next queued items into idle rows
-            idle = r_item < 0
-            rank = jnp.cumsum(idle.astype(jnp.int32)) - 1
-            new_item = c["head"] + rank
-            take_r = idle & (new_item < Q)
-            ni = jnp.clip(new_item, 0, Q - 1)
-            nsi = start_ints[ni]  # [S, 8] row gathers
-            nsf = start_floats[ni]
-            ndirs = dirs[ni].astype(jnp.int32)
-            out["head"] = c["head"] + take_r.sum(dtype=jnp.int32)
-            out["r_item"] = jnp.where(take_r, new_item, r_item)
-            out["dirs"] = jnp.where(take_r, ndirs, dirs_c)
-            out["r_steps"] = jnp.where(take_r, 0, r_steps)
-            out["r_tstart"] = jnp.where(take_r, tpos + B, c["r_tstart"])
-            out["active"] = active | take_r
-            rst = lambda a, v: jnp.where(take_r, v, a)  # noqa: E731
-            out["goal_idx"] = rst(goal_idx, -1)
-            out["inter_idx"] = rst(inter_idx, -1)
-            out["inter_val"] = jnp.where(
-                take_r, jnp.asarray(NEG, dt), inter_val
-            )
-            out["cached_entry"] = rst(cached_entry, -1)
-            out["cached_at"] = rst(cached_at, -1)
-            out["overflow"] = jnp.where(take_r, False, overflow)
-
-            # the new start rides the candidate block as one extra column
-            nf_node = nsi[:, NI_NODE]
-            has = take_r & (nf_node >= 0)
-            rf_fval = jnp.where(
-                has, jnp.maximum(nsi[:, NI_FVAL], INT_MIN32 + 2), INT_MIN32
-            )
-            rf_ibx = pack_ibx(
-                nsi[:, NI_STATE], nsi[:, NI_STATE_NO], nsi[:, NI_NEG],
-                nsi[:, NI_NE],
-            )
-            rf_lpx = pack_lpx(nsi[:, NI_PARENT], nsi[:, NI_LEN])
-            c_fval = jnp.concatenate([c_fval, rf_fval[:, None]], axis=1)
-            c_ia = jnp.concatenate([c_ia, nf_node[:, None]], axis=1)
-            c_ibx = jnp.concatenate([c_ibx, rf_ibx[:, None]], axis=1)
-            c_lpx = jnp.concatenate([c_lpx, rf_lpx[:, None]], axis=1)
-            c_sc = jnp.concatenate(
-                [c_sc, nsf[:, NF_SCORE].astype(dt)[:, None]], axis=1
-            )
-            c_re = jnp.concatenate(
-                [c_re, nsf[:, NF_REAL].astype(dt)[:, None]], axis=1
-            )
-            c_mx = jnp.concatenate(
-                [c_mx, nsf[:, NF_MAX].astype(dt)[:, None]], axis=1
-            )
+            # the hot body's ONLY refill cost: count residence steps (one
+            # fused elementwise op). Flush + refill run in the OUTER loop
+            # (flush_refill) — finished rows sit frozen (active False, all
+            # registers final) for at most the inner idle-break window.
+            out["r_steps"] = c["r_steps"] + act0.astype(jnp.int32)
 
         # ---- trace append at the step's fixed block (scatter-free)
         out["trace3"] = jax.lax.dynamic_update_slice(
@@ -1266,7 +1197,7 @@ def wavefront_search_merged(
         out["psc"] = dus(c["psc"], c_sc, (zero, nfree))
         out["pre"] = dus(c["pre"], c_re, (zero, nfree))
         out["pmx"] = dus(c["pmx"], c_mx, (zero, nfree))
-        out["next_free"] = nfree + CANDW
+        out["next_free"] = nfree + CAND
         out["step"] = step + 1
         return out
 
@@ -1278,14 +1209,89 @@ def wavefront_search_merged(
         return m
 
     def inner_cond(c):
-        return (
-            more_work(c)
+        alive = c["active"].sum(dtype=jnp.int32)
+        ok = (
+            ((alive > act_thresh_d) | ((c["head"] < Q) if REFILL else False))
             & (c["step"] < max_steps_d)
-            & (c["next_free"] + CANDW <= P)
+            & (c["next_free"] + CAND <= P)
+        )
+        if REFILL:
+            # break to the outer flush/refill once enough rows idle (while
+            # queue items remain) or any item exhausts its residence budget
+            ok = ok & ~((c["head"] < Q) & (S - alive > IDLE_MAX))
+            ok = ok & (jnp.max(c["r_steps"]) < item_cap_d)
+        return ok
+
+    def flush_refill(c):
+        """Outer-loop item turnover: flush finished/capped rows' registers
+        to the per-item table, compact the pool when near-full, and load
+        the next queued items into the idle rows (start entries ride ONE
+        shared pool column)."""
+        active, r_item, r_steps = c["active"], c["r_item"], c["r_steps"]
+        capped = active & (r_steps >= item_cap_d)  # deferred to the ladder
+        fin = (r_item >= 0) & (~active | capped)
+        pkr = pack_regs(c, capped.astype(jnp.int32))
+        idx_t = jnp.where(fin, r_item, Q)
+        c = dict(
+            c,
+            outm=c["outm"].at[idx_t].set(pkr, mode="drop"),
+            r_item=jnp.where(fin, -1, r_item),
+            active=active & ~capped,
+            fval=jnp.where(fin[:, None], INT_MIN32, c["fval"]),
+            r_steps=jnp.where(fin, 0, r_steps),
+        )
+        c = jax.lax.cond(
+            c["next_free"] + 2 * CAND + 2 > P, compact, lambda x: x, c
+        )
+        idle = c["r_item"] < 0
+        rank = jnp.cumsum(idle.astype(jnp.int32)) - 1
+        new_item = c["head"] + rank
+        take_r = idle & (new_item < Q)
+        ni = jnp.clip(new_item, 0, Q - 1)
+        nsi = start_ints[ni]  # [S, 8] row gathers
+        nsf = start_floats[ni].astype(dt)
+        rst = lambda a, v: jnp.where(take_r, v, a)  # noqa: E731
+        nf_node = nsi[:, NI_NODE]
+        has = take_r & (nf_node >= 0)
+        rf_fval = jnp.where(
+            has, jnp.maximum(nsi[:, NI_FVAL], INT_MIN32 + 2), INT_MIN32
+        )
+        rf_ibx = pack_ibx(
+            nsi[:, NI_STATE], nsi[:, NI_STATE_NO], nsi[:, NI_NEG],
+            nsi[:, NI_NE],
+        )
+        rf_lpx = pack_lpx(nsi[:, NI_PARENT], nsi[:, NI_LEN])
+        nf = c["next_free"]
+        zero = jnp.zeros((), jnp.int32)
+        dus = jax.lax.dynamic_update_slice
+        col = lambda a, v: dus(a, v[:, None], (zero, nf))  # noqa: E731
+        return dict(
+            c,
+            head=c["head"] + take_r.sum(dtype=jnp.int32),
+            r_item=jnp.where(take_r, new_item, c["r_item"]),
+            dirs=rst(c["dirs"], dirs[ni].astype(jnp.int32)),
+            r_tstart=rst(c["r_tstart"], 1 + c["step"] * B),
+            active=c["active"] | take_r,
+            goal_idx=rst(c["goal_idx"], -1),
+            inter_idx=rst(c["inter_idx"], -1),
+            inter_val=jnp.where(take_r, jnp.asarray(NEG, dt), c["inter_val"]),
+            cached_entry=rst(c["cached_entry"], -1),
+            cached_at=rst(c["cached_at"], -1),
+            overflow=jnp.where(take_r, False, c["overflow"]),
+            fval=col(c["fval"], rf_fval),
+            pia=col(c["pia"], nf_node),
+            pibx=col(c["pibx"], rf_ibx),
+            plpx=col(c["plpx"], rf_lpx),
+            psc=col(c["psc"], nsf[:, NF_SCORE]),
+            pre=col(c["pre"], nsf[:, NF_REAL]),
+            pmx=col(c["pmx"], nsf[:, NF_MAX]),
+            next_free=nf + 1,
         )
 
     def outer_body(c):
         c = jax.lax.while_loop(inner_cond, body, c)
+        if REFILL:
+            return flush_refill(c)
         return compact(c)
 
     def outer_cond(c):
