@@ -180,6 +180,12 @@ def measure_ours(meta, dbg, seeds, chunk=None):
         ).hexdigest()[:16],
         "overflow": bs.last_stats["overflow"],
         "cache_hits": bs.last_stats.get("cache_hits", 0),
+        "walls": bs.last_stats.get("walls", {}),
+        "t_get": round(bs.last_stats.get("t_get", 0.0), 3),
+        "t_host": round(bs.last_stats.get("t_host", 0.0), 3),
+        "deferred": bs.last_stats.get("deferred", 0),
+        "stragglers": bs.last_stats.get("stragglers", 0),
+        "escalated": bs.last_stats.get("escalated", 0),
         "device": str(jax.devices()[0]),
         "_contigs": contigs,
     }

@@ -665,29 +665,42 @@ class BatchSearcher:
         chunk i-1 — a one-chunk lag the reference's parallel threads have
         too, and results stay reference-exact either way (a missed hit
         just means the seed completes its own search)."""
+        import time as _time
+
         deferred: list[int] = []
         prev = None
+        walls = self.last_stats.setdefault("walls", {})
+        key = f"P{cfg.pool_size}_R{cfg.rows or 0}"
+        t0 = _time.perf_counter()
+        td = tf = 0.0
         for i in range(0, len(idx_list), width):
             idxs = idx_list[i : i + width]
+            ta = _time.perf_counter()
             cur = (
                 idxs,
                 self._dispatch_chunk(
                     [seeds[j] for j in idxs], cfg, limit, width, act_thresh
                 ),
             )
+            td += _time.perf_counter() - ta
             if prev is not None:
-                deferred.extend(
-                    self._record(
-                        prev[0], self._finish_chunk(prev[1]), results, final
-                    )
-                )
+                ta = _time.perf_counter()
+                out = self._finish_chunk(prev[1])
+                tf += _time.perf_counter() - ta
+                deferred.extend(self._record(prev[0], out, results, final))
             prev = cur
         if prev is not None:
-            deferred.extend(
-                self._record(
-                    prev[0], self._finish_chunk(prev[1]), results, final
-                )
-            )
+            ta = _time.perf_counter()
+            out = self._finish_chunk(prev[1])
+            tf += _time.perf_counter() - ta
+            deferred.extend(self._record(prev[0], out, results, final))
+        w = walls.setdefault(
+            key, {"wall": 0.0, "dispatch": 0.0, "finish": 0.0, "chunks": 0}
+        )
+        w["wall"] += round(_time.perf_counter() - t0, 3)
+        w["dispatch"] += round(td, 3)
+        w["finish"] += round(tf, 3)
+        w["chunks"] += (len(idx_list) + width - 1) // width
         return deferred
 
     def _record(self, idxs, out, results, final):
@@ -916,6 +929,9 @@ class BatchSearcher:
 
         # ---- the single download round: meta block (+ chain lengths +
         # scalars) and the pre-sliced chain planes together
+        import time as _time
+
+        _t0 = _time.perf_counter()
         if "arr_dev" in ctx:
             mblk, arr = jax.device_get((ctx["meta_dev"], ctx["arr_dev"]))
             nodes, packed = arr[0], arr[1]
@@ -930,6 +946,10 @@ class BatchSearcher:
             reals = np.asarray(dreals[:, :lmax], np.float64)
         self.last_stats["steps"] += int(scal[0])
         self.last_stats["expansions"] += int(scal[1])
+        self.last_stats["t_get"] = (
+            self.last_stats.get("t_get", 0.0) + _time.perf_counter() - _t0
+        )
+        _t1 = _time.perf_counter()
         inter_pre = meta[:, 6].view(np.float32).astype(np.float64)
 
         ce = meta[:, 2]
@@ -1036,6 +1056,9 @@ class BatchSearcher:
             )
         self.last_stats["cache_hits"] = self.last_stats.get("cache_hits", 0) + int(
             (ce_f >= 0).sum() + (ce_r >= 0).sum()
+        )
+        self.last_stats["t_host"] = (
+            self.last_stats.get("t_host", 0.0) + _time.perf_counter() - _t1
         )
         n = len(seeds)
         return contigs, still_active[:n], overflowed[:n]

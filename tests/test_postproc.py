@@ -181,3 +181,59 @@ def test_chimera_flagged(tmp_path):
         for line in open(os.path.join(gdir, "cluster/results.uchime.txt"))
     }
     assert flagged["px"] == "Y" and flagged["pa"] == "N"
+
+
+def test_postproc_hand_golden(tmp_path):
+    """External-golden fixture (VERDICT r4 ask #8): every derep / cluster /
+    chimera / nearest-reference outcome below is derivable BY HAND from the
+    documented rules (bin/post_proc.sh semantics), and the emitted files
+    are pinned exactly — not just self-consistent.
+
+    P1/P2 are two unrelated 60-aa proteins. Fixture:
+      a1    = P1 exactly            -> kept, cluster rep, ref1 @ 100%
+      z_dup = P1 exactly            -> derep: duplicate of a1
+      sub   = P1[5:45]              -> derep: exact substring of a1
+      near  = P1 with 1 sub (d=1/60=.017 <= .03) -> joins a1's cluster
+      farb  = P2 exactly            -> own cluster, ref2 @ 100%
+      chim  = P1[:30]+P2[30:]       -> own cluster, UCHIME-style flagged
+              (halves match ref1/ref2 at 1.0, full-length at 0.5)
+    """
+    P1 = "MKVAGTWERPLNSDQHCIYF" * 3
+    P2 = "GHILMNPQRSTVWYACDEFK" * 3
+    near = P1[:10] + "W" + P1[11:]
+    assert near != P1 and len(near) == 60
+    prots = [
+        ("a1", P1), ("z_dup", P1), ("sub", P1[5:45]), ("near", near),
+        ("farb", P2), ("chim", P1[:30] + P2[30:]),
+    ]
+    nucls = [(n, "ACGTAC" * (10 + i)) for i, (n, _) in enumerate(prots)]
+    d = str(tmp_path)
+    write_fasta(os.path.join(d, "prot_merged.fasta"), prots)
+    write_fasta(os.path.join(d, "nucl_merged.fasta"), nucls)
+
+    stats = post_process_gene(
+        d, [("ref1", P1), ("ref2", P2)], dist_cutoff=0.03
+    )
+    assert stats == {
+        "input": 6, "rmdup": 4, "clusters": 3, "chimeras": 1, "final": 2,
+    }
+    rmdup = [r.name for r in read_fastx(
+        os.path.join(d, "proc_prot_merged_rmdup.fasta"))]
+    assert rmdup == ["a1", "chim", "farb", "near"]
+    reps = [r.name for r in read_fastx(
+        os.path.join(d, "cluster", "proc_prot_rep_seqs.fasta"))]
+    assert reps == ["a1", "chim", "farb"]
+    uchime = open(
+        os.path.join(d, "cluster", "results.uchime.txt")).read().splitlines()
+    assert uchime == ["a1\tN", "chim\tY", "farb\tN"]
+    final = [r.name for r in read_fastx(
+        os.path.join(d, "cluster", "proc_final_prot.fasta"))]
+    assert final == ["a1", "farb"]
+    final_nucl = {
+        r.name: r.seq
+        for r in read_fastx(
+            os.path.join(d, "cluster", "proc_final_nucl.fasta"))
+    }
+    assert final_nucl == {"a1": "ACGTAC" * 10, "farb": "ACGTAC" * 14}
+    framebot = open(os.path.join(d, "proc_framebot.txt")).read().splitlines()
+    assert framebot == ["a1\tref1\t1.0000", "farb\tref2\t1.0000"]
