@@ -500,7 +500,13 @@ class Pipeline:
                         ),
                         mesh=mesh,
                     )
-                    contigs = bs.search(my_seeds)
+                    if self.multihost:
+                        # phased search + cross-process path-cache syncs:
+                        # the shared-memory term-memo equivalent
+                        # (runner.sync_caches; fixed collective count)
+                        contigs = bs.search_phased(my_seeds)
+                    else:
+                        contigs = bs.search(my_seeds)
                     log(f"{gene}: wavefront stats {bs.last_stats}")
                 else:
                     from ..search.astar import (

@@ -171,7 +171,14 @@ def _chain_strings(packed: np.ndarray, reals: np.ndarray):
     el_r = np.where(emits_r, 3, 0)
     cums_r = np.cumsum(el_r, axis=1, dtype=np.int32)  # inclusive
     ends = cums_r[:, ::-1].copy()  # ends[r, i] = cums_r[r, C-1-i]
-    full = [chars_r[r][emits_r[r]].tobytes() for r in range(R)]
+    # one whole-batch mask-select + tobytes; per-row strings are plain
+    # byte slices of the flat buffer (the per-row boolean-index loop cost
+    # ~0.4 ms/row at prod scale)
+    flat = chars_r[emits_r].tobytes()
+    offs = np.zeros(R + 1, np.int64)
+    if C:
+        offs[1:] = np.cumsum(cums_r[:, -1], dtype=np.int64)
+    full = [flat[offs[r] : offs[r + 1]] for r in range(R)]
     return full, ends, n, best
 
 
@@ -201,9 +208,11 @@ class _PathCache:
         self.emis: list[bytes] = []  # child's emission (b'' = delete state)
         self.dc: list[float] = []  # real(child) - real(parent)
         self.child_key: list[tuple[int, int]] = []
+        self.keys: list[tuple[int, int]] = []  # entry idx -> its own key
         self._res: dict[int, tuple[bytes, float, int]] = {}
         self.pending: list[tuple[int, int, int, int, int]] = []
         self.limit = 0  # batch-start snapshot (see begin_batch)
+        self.synced = 0  # entries already exchanged cross-process
 
     def begin_batch(self):
         """Pin resolution to the entries visible to THIS batch's device
@@ -266,6 +275,7 @@ class _PathCache:
             self.emis.append(full[s0:e0])
             self.dc.append(float(dc))
             self.child_key.append((ca, cb))
+            self.keys.append((a, b))
             self._insert(a, b, idx)
 
     def _next(self, idx: int) -> int | None:
@@ -344,6 +354,47 @@ class _PathCache:
             tail = cur
         return tail
 
+    def export_new(self):
+        """(ints [n, 5] int32, dc_bits [n, 2] int32, flat emission bytes)
+        of entries created since the last cross-process sync. int32/bit
+        views keep the payload exact through collectives that run with
+        x64 disabled (node ids < 2^31, identities 14-bit, float64 deltas
+        as raw bit pairs)."""
+        lo = self.synced
+        n = len(self.emis) - lo
+        ints = np.zeros((n, 5), np.int32)
+        for j in range(n):
+            i = lo + j
+            ints[j, 0], ints[j, 1] = self.keys[i]
+            ints[j, 2], ints[j, 3] = self.child_key[i]
+            ints[j, 4] = len(self.emis[i])
+        dc_bits = (
+            np.asarray(self.dc[lo:], np.float64)
+            .view(np.int32)
+            .reshape(n, 2)
+        )
+        return ints, dc_bits, b"".join(self.emis[lo:])
+
+    def merge_foreign(self, ints, dc_bits, flat):
+        """Insert another process's exported entries in its creation order
+        (first-insert-wins: keys already present locally are skipped)."""
+        dc = np.ascontiguousarray(dc_bits).view(np.float64).ravel()
+        off = 0
+        k2i = self.key2idx
+        for j in range(len(ints)):
+            a, b, ca, cb, el = (int(x) for x in ints[j])
+            e = bytes(flat[off : off + el])
+            off += el
+            if (a, b) in k2i:
+                continue
+            idx = len(self.emis)
+            k2i[(a, b)] = idx
+            self.emis.append(e)
+            self.dc.append(float(dc[j]))
+            self.child_key.append((ca, cb))
+            self.keys.append((a, b))
+            self._insert(a, b, idx)
+
     def compose(
         self,
         reals_row: np.ndarray,
@@ -420,6 +471,49 @@ def _pack_meta(meta, dlens, scal):
     m = jnp.concatenate([meta, dlens[:, None]], axis=1)
     srow = jnp.zeros((1, m.shape[1]), jnp.int32).at[0, :3].set(scal)
     return jnp.concatenate([m, srow], axis=0)
+
+
+@partial(jax.jit, static_argnums=(5,))
+def _pack_meta_long(meta, dlens, scal, li, n_long, NLONG: int):
+    """_pack_meta + the long-row index list and its true count (scal col 3)
+    appended as extra rows — still ONE transfer."""
+    m = jnp.concatenate([meta, dlens[:, None]], axis=1)
+    srow = (
+        jnp.zeros((1, m.shape[1]), jnp.int32)
+        .at[0, :3].set(scal)
+        .at[0, 3].set(n_long)
+    )
+    pad = (-NLONG) % 8
+    lrows = jnp.pad(li.astype(jnp.int32), (0, pad)).reshape(-1, 8)
+    return jnp.concatenate([m, srow, lrows], axis=0)
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def _two_tier_f32(dnodes, dpacked, dreals, dlens, SHORT: int, NLONG: int,
+                  lcap: int):
+    """Two-tier chain transfer: a SHORT-wide slice of every row plus the
+    full lcap-wide rows of the NLONG longest chains (by device top_k).
+    Measured on the prod bench: p50 chain length is 1 and only ~15% of
+    rows exceed 64, while the tunnel moves ~31 MB/s — the uniform
+    full-width download dominated the whole search wall. Returns
+    (short [3, R, SHORT], long [3, NLONG, lcap], li [NLONG],
+    n_long = rows with dlen > SHORT; if n_long > NLONG the caller must
+    fall back to a full-width fetch)."""
+    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
+    short = jnp.stack(
+        [dnodes[:, :SHORT], dpacked[:, :SHORT], bc(dreals[:, :SHORT])]
+    )
+    _, li = jax.lax.top_k(dlens, NLONG)
+    li = li.astype(jnp.int32)
+    n_long = (dlens > SHORT).sum(dtype=jnp.int32)
+    long = jnp.stack(
+        [
+            dnodes[li][:, :lcap],
+            dpacked[li][:, :lcap],
+            bc(dreals[li][:, :lcap]),
+        ]
+    )
+    return short, long, li, n_long
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -604,6 +698,72 @@ class BatchSearcher:
                 self._dev_cache, jnp.asarray(upd[s : s + PAD], jnp.int32)
             )
         return self._dev_cache
+
+    def sync_caches(self):
+        """Cross-process path-cache exchange (multihost EP scaling).
+
+        The reference's term-node memo is SHARED MEMORY across its OpenMP
+        threads (search.cpp:184-188); per-host seed slices would otherwise
+        each pay the full cold-cache exploration, which is the dominant
+        multihost scaling loss. Entries created since the last sync are
+        allgathered and merged in process order (first-insert-wins per
+        host). COLLECTIVE: every process must call this the same number of
+        times — use fixed phase barriers, e.g. search_phased()."""
+        import jax
+
+        if self.cache_f is None or jax.process_count() <= 1:
+            return
+        import jax.numpy as jnp
+        from jax.experimental import multihost_utils as mh
+
+        me = jax.process_index()
+        nproc = jax.process_count()
+        exp = [c.export_new() for c in (self.cache_f, self.cache_r)]
+        sizes = np.array(
+            [[len(e[0]), len(e[2])] for e in exp], np.int32
+        ).ravel()
+        all_sizes = np.asarray(
+            mh.process_allgather(jnp.asarray(sizes))
+        ).reshape(nproc, 4)
+        mi = all_sizes[:, (0, 2)].max(0)
+        mb = np.maximum(all_sizes[:, (1, 3)].max(0), 1)
+        payload = []
+        for ci, (ints, dcb, flat) in enumerate(exp):
+            ip = np.zeros((int(mi[ci]), 5), np.int32)
+            ip[: len(ints)] = ints
+            dp = np.zeros((int(mi[ci]), 2), np.int32)
+            dp[: len(dcb)] = dcb
+            fp = np.zeros(int(mb[ci]), np.uint8)
+            fp[: len(flat)] = np.frombuffer(flat, np.uint8)
+            payload += [jnp.asarray(ip), jnp.asarray(dp), jnp.asarray(fp)]
+        gath = [np.asarray(g) for g in mh.process_allgather(tuple(payload))]
+        for ci, cache in enumerate((self.cache_f, self.cache_r)):
+            gi, gd, gf = gath[3 * ci], gath[3 * ci + 1], gath[3 * ci + 2]
+            for p in range(nproc):
+                if p == me:
+                    continue
+                n_e, n_b = all_sizes[p, 2 * ci], all_sizes[p, 2 * ci + 1]
+                cache.merge_foreign(
+                    gi[p, :n_e], gd[p, :n_e], gf[p, :n_b].tobytes()
+                )
+            cache.synced = len(cache.emis)
+
+    def search_phased(self, seeds, phases: int = 4) -> list[str]:
+        """Multihost search with cross-process cache syncs at fixed phase
+        boundaries (each process calls the same number of collectives
+        regardless of its slice's convergence behavior)."""
+        out: list[str] = []
+        stats: dict = {}
+        bounds = [len(seeds) * i // phases for i in range(phases + 1)]
+        for f in range(phases):
+            out.extend(self.search(seeds[bounds[f] : bounds[f + 1]]))
+            for k, v in self.last_stats.items():
+                if isinstance(v, (int, float)):
+                    stats[k] = stats.get(k, 0) + v
+            if f < phases - 1:
+                self.sync_caches()
+        self.last_stats = stats
+        return out
 
     def search(self, seeds: list[tuple[str, int]]) -> list[str]:
         """seeds: [(nucl lowercase, start_state 0-based)] -> contigs."""
@@ -891,28 +1051,43 @@ class BatchSearcher:
                 res["trace3"], res["treal"], res["row_of"], res["tstart"],
                 start_idx, WIN,
             )
-            # a chain holds at most one node per residence step
-            lcap = min(WIN, _round_up_pow2(cfg.item_cap + 2))
+            # a chain holds at most one node per residence step; the caps
+            # are exact (one compile per ladder tier — no pow2 bucketing
+            # needed, and pow2 rounding doubled the transfer bytes)
+            lcap = min(WIN, cfg.item_cap + 2)
         else:
             dnodes, dpacked, dreals, dlens = extract_chains(
                 res["trace3"], res["treal"], start_idx
             )
-            lcap = min(
-                res["trace3"].shape[2], _round_up_pow2(cfg.max_steps + 2)
-            )
+            lcap = min(res["trace3"].shape[2], cfg.max_steps + 2)
+        lcap = min(lcap, dnodes.shape[1])
         ctx = {
-            "seeds": seeds, "S": S, "res": res, "cfg": cfg,
+            "seeds": seeds, "S": S, "res": res, "cfg": cfg, "lcap": lcap,
             "chains": (dnodes, dpacked, dreals),
             "meta_dev": _pack_meta(res["meta"], dlens, res["scal"]),
             "limits": limits,
         }
         if dreals.dtype == jnp.float32:
-            # chain length <= steps + 1, and steps are capped per ladder
-            # tier (per ITEM under refill), so the transfer slice is
-            # STATIC — the slice runs at dispatch time and the download
-            # overlaps the next chunk's device compute instead of waiting
-            # on a meta round trip
-            ctx["arr_dev"] = _slice_stack_f32(dnodes, dpacked, dreals, lcap)
+            # chain length <= steps + 1 (per ITEM under refill), so the
+            # transfer slices are STATIC — they run at dispatch time and
+            # the downloads overlap the next chunk's device compute
+            # instead of waiting on a meta round trip
+            SHORT = 64
+            NLONG = min(max(64, (2 * S) // 4), 2 * S)
+            if lcap <= 2 * SHORT:
+                ctx["arr_dev"] = _slice_stack_f32(
+                    dnodes, dpacked, dreals, lcap
+                )
+            else:
+                short, long_, li, n_long = _two_tier_f32(
+                    dnodes, dpacked, dreals, dlens, SHORT, NLONG, lcap
+                )
+                ctx["short_dev"] = short
+                ctx["long_dev"] = long_
+                ctx["tier"] = (SHORT, NLONG)
+                ctx["meta_dev"] = _pack_meta_long(
+                    res["meta"], dlens, res["scal"], li, n_long, NLONG
+                )
         return ctx
 
     def _finish_chunk(self, ctx):
@@ -932,7 +1107,37 @@ class BatchSearcher:
         import time as _time
 
         _t0 = _time.perf_counter()
-        if "arr_dev" in ctx:
+        if "short_dev" in ctx:
+            # two-tier transfer: SHORT cols of every row + full rows of
+            # the NLONG longest chains; rare overload (> NLONG long rows,
+            # the cold first chunks) falls back to one full-width fetch
+            SHORT, NLONG = ctx["tier"]
+            lcap = ctx["lcap"]
+            mblk, a_s, a_l = jax.device_get(
+                (ctx["meta_dev"], ctx["short_dev"], ctx["long_dev"])
+            )
+            R = a_s.shape[1]
+            meta, scal = mblk[:R], mblk[R]
+            li = mblk[R + 1 :].reshape(-1)[:NLONG]
+            n_long = int(scal[3])
+            if n_long > NLONG:
+                arr = np.asarray(
+                    _slice_stack_f32(dnodes, dpacked, dreals, lcap)
+                )
+                nodes, packed = arr[0], arr[1]
+                reals = arr[2].view(np.float32).astype(np.float64)
+            else:
+                nodes = np.full((R, lcap), -1, np.int32)
+                packed = np.full((R, lcap), -1, np.int32)
+                reals_i = np.zeros((R, lcap), np.int32)
+                nodes[:, :SHORT] = a_s[0]
+                packed[:, :SHORT] = a_s[1]
+                reals_i[:, :SHORT] = a_s[2]
+                nodes[li] = a_l[0]
+                packed[li] = a_l[1]
+                reals_i[li] = a_l[2]
+                reals = reals_i.view(np.float32).astype(np.float64)
+        elif "arr_dev" in ctx:
             mblk, arr = jax.device_get((ctx["meta_dev"], ctx["arr_dev"]))
             nodes, packed = arr[0], arr[1]
             reals = arr[2].view(np.float32).astype(np.float64)

@@ -394,7 +394,10 @@ def extract_chains(trace3, treal, start_idx):
         nxt = jnp.where(hit, jnp.where(pcol == t, -1, pcol), w)
         return nxt, hit
 
-    _, hitsT = jax.lax.scan(step, start_idx, (parentT[::-1], ts), unroll=8)
+    # unroll 64: the scan body is a couple of fused [S]-wide selects, so
+    # per-iteration cost is TPU loop overhead (~0.2 ms measured); at
+    # T=4097 the unroll-8 sweep cost ~110 ms per chunk on the prod bench
+    _, hitsT = jax.lax.scan(step, start_idx, (parentT[::-1], ts), unroll=64)
     on = jnp.transpose(hitsT)[:, ::-1]  # [S, T], trace-position ascending
     tt = jnp.arange(T, dtype=jnp.int32)[None, :]
     key = jnp.where(on, -tt, INT_MAX32)
@@ -444,7 +447,7 @@ def extract_chains_windows(trace3, treal, rows, tstart, start_idx, WIN: int):
         nxt = jnp.where(hit, jnp.where(pcol == t_abs, -1, pcol), w)
         return nxt, hit
 
-    _, hitsT = jax.lax.scan(step, start_idx, (parentT[::-1], js), unroll=8)
+    _, hitsT = jax.lax.scan(step, start_idx, (parentT[::-1], js), unroll=64)
     on = jnp.transpose(hitsT)[:, ::-1]  # [Q, WIN], window-position ascending
     jj = jnp.arange(WIN, dtype=jnp.int32)[None, :]
     key = jnp.where(on, -jj, INT_MAX32)

@@ -79,7 +79,9 @@ _BODY = textwrap.dedent(
         from jax.experimental import multihost_utils
         multihost_utils.sync_global_devices("warm")
     t0 = time.perf_counter()
-    contigs = bs.search(my)
+    # production multihost path: phased search with cross-process cache
+    # syncs (the shared-memory term-memo equivalent; runner.sync_caches)
+    contigs = bs.search_phased(my) if nproc > 1 else bs.search(my)
     if nproc > 1:
         multihost_utils.sync_global_devices("done")
     wall = time.perf_counter() - t0
