@@ -136,8 +136,11 @@ def measure_ours(meta, dbg, seeds, chunk=None):
     thresh = int(os.environ.get("BENCH_THRESH", 0))
     bwidth = int(os.environ.get("BENCH_B", 16))
     # seed refill (continuous batching): resident rows streaming the
-    # 2*chunk item queue; 0 = legacy one-row-per-item chunks
-    refill = int(os.environ.get("BENCH_REFILL", 256))
+    # 2*chunk item queue; 0 = legacy one-row-per-item chunks (measured
+    # FASTER on this workload: the punt-and-rerun scheduling skips
+    # exploration that refill's full residence budgets pay; BASELINE.md
+    # round-5 notes)
+    refill = int(os.environ.get("BENCH_REFILL", 0))
 
     def make_bs():
         bs = BatchSearcher(
@@ -146,11 +149,17 @@ def measure_ours(meta, dbg, seeds, chunk=None):
                 pool_size=pool,
                 max_steps=1 << 11,
                 expand_width=bwidth,
+                cand_cap=int(os.environ.get("BENCH_CAND", 128)),
                 use_cache=True,  # the reference's own term-node memo
                 # (hmm_graph_search.h:211-234) is what makes it fast;
                 # our deterministic equivalent is measured the same way
                 use_pallas=on_tpu,
-                use_pallas_expand=on_tpu,
+                # r5 ablation: at B=16 the fused expand kernel is 0.4
+                # ms/step SLOWER than XLA's fusion of the same math
+                use_pallas_expand=(
+                    on_tpu
+                    and os.environ.get("BENCH_EXPAND_PALLAS", "0") == "1"
+                ),
             ),
             dtype=jnp.float32,
             chunk=chunk,

@@ -86,6 +86,8 @@ def _add_main_args(p: argparse.ArgumentParser):
     p.add_argument("--max-steps", type=int, default=1 << 13)
     p.add_argument("--expand-width", type=int, default=16,
                    help="frontier nodes expanded per seed per step (1 = exact serial semantics)")
+    p.add_argument("--cand-cap", type=int, default=128,
+                   help="candidate compression: keep top-N new candidates per step (0 = all)")
     p.add_argument("--chunk", type=int, default=0,
                    help="seeds per device batch (0 = auto-size to device memory)")
     p.add_argument("--build-engine",
@@ -192,6 +194,7 @@ def main(argv=None) -> int:
         pool_size=args.pool_size,
         max_steps=args.max_steps,
         expand_width=args.expand_width,
+        cand_cap=args.cand_cap,
         float64=args.float64,
         chunk=args.chunk,
         build_engine=args.build_engine,

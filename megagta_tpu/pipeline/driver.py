@@ -56,6 +56,11 @@ class Options:
     max_steps: int = 1 << 13
     expand_width: int = 16  # B=16 measured fastest on v5e at prod
     # scale (r4: 6.8 s vs 9.3 s at B=8; B=4 and B=32 both much worse)
+    # candidate compression: keep the top-cand_cap candidates per step
+    # (typical valid counts are ~5 per expansion, so 128 is lossless in
+    # practice; drops are detected and escalate through the ladder).
+    # r5: 5.9 -> 5.3 s on the prod bench
+    cand_cap: int = 128
     use_cache: bool = True
     float64: bool = False
     # None = auto: fused Pallas step kernels on TPU backends, plain XLA
@@ -490,9 +495,12 @@ class Pipeline:
                             prune_len=self.opt.prune_len,
                             low_cov_penalty=self.opt.low_cov_penalty,
                             expand_width=self.opt.expand_width,
+                            cand_cap=self.opt.cand_cap,
                             use_cache=self.opt.use_cache,
                             use_pallas=use_pallas,
-                            use_pallas_expand=use_pallas,
+                            # r5 ablation: the fused expand kernel is
+                            # slower than XLA's fusion at B=16
+                            use_pallas_expand=False,
                         ),
                         dtype=jnp.float64 if self.opt.float64 else jnp.float32,
                         chunk=self.opt.chunk or self._auto_chunk(

@@ -154,6 +154,12 @@ class DeviceGraph:
     # beyond this many rows the path tables (~128 B/row) are skipped in
     # favor of the raw-table kernel path (keeps HBM for the pool arenas)
     HOP_TABLE_MAX_ROWS = 48_000_000
+    # byte budget for the pt plane itself: W is graph-dependent (pow2 of
+    # the max valid-path count over ALL rows), so a single branchy row can
+    # push W to 64 and the auto path must re-check rows*W*8 after the
+    # host-side path walk, falling back to raw tables when it would not
+    # leave HBM room for the pool/trace arenas
+    HOP_TABLE_MAX_BYTES = 6 << 30
 
     @staticmethod
     def from_sdbg(dbg: SdBG, precompute_hops: bool | None = None) -> "DeviceGraph":

@@ -236,6 +236,7 @@ def test_cli_defaults_match_options_defaults():
     for field in (
         "min_count", "prune_len", "low_cov_penalty", "max_tip_len",
         "min_contig_len", "pool_size", "max_steps", "expand_width",
+        "cand_cap",
         "chunk", "build_engine", "dist_cutoff",
     ):
         assert getattr(args, field) == getattr(opt, field), field
