@@ -165,8 +165,11 @@ def edges_from_reads_streaming(
                         sub, k + 1, padded.shape[1] - k, sub_mask, sub_assist
                     )
                 )
+            from ..ops.kmer_device import pack_reads_host
+
             keys, mult_d, n_edges_d = _phase1(
-                jnp.asarray(padded), jnp.asarray(lens), k + 1, 1, wm
+                jnp.asarray(pack_reads_host(padded)), jnp.asarray(lens),
+                k + 1, 1, wm, prepacked=True,
             )
             n = int(n_edges_d)
             kk = np.asarray(keys[:n])  # [n, 3] uint32 big-endian 96-bit

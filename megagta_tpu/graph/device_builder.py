@@ -70,16 +70,21 @@ def _seg_scan_or(vals, starts, reverse: bool = False):
     return v
 
 
-@partial(jax.jit, static_argnames=("k1", "min_count"))
-def _phase1(padded, lengths, k1: int, min_count: int, window_mask=None):
+@partial(jax.jit, static_argnames=("k1", "min_count", "prepacked"))
+def _phase1(padded, lengths, k1: int, min_count: int, window_mask=None,
+            prepacked: bool = False):
     """Occurrence sort + run-length encode + edge compaction.
 
     window_mask: optional [R, P] bool of solid windows (mercy); when set,
     only masked windows count and the min_count filter is the CALLER's
     responsibility (the mask already encodes solidity, builder.py:103).
+    prepacked: `padded` is the host-packed [R, W+2] uint32 word arena
+    (ops.kmer_device.pack_reads_host) — 4x fewer upload bytes.
     Returns (keys [M, 3] uint32 with distinct edges first, mult [M] int32,
     n_edges [] int32)."""
-    sk, boundary, valid = counted_kmers(padded, lengths, k1, window_mask)
+    sk, boundary, valid = counted_kmers(
+        padded, lengths, k1, window_mask, prepacked
+    )
     M = sk.shape[0]
     idx = jnp.arange(M, dtype=jnp.int32)
     # next boundary at or after i+1 (suffix min of boundary positions)
@@ -367,6 +372,9 @@ def build_sdbg_device(
         )
         return sdbg_from_phase2(res, k)
     padded, lens = package.padded()
+    from ..ops.kmer_device import pack_reads_host
+
+    words = pack_reads_host(padded)  # host 2-bit pack: 4x fewer upload B
     if solid_mask is not None:
         # the mask already encodes solidity (+ always-solid assist rows);
         # no multiplicity filter, matching builder.edges_from_reads:103
@@ -375,11 +383,13 @@ def build_sdbg_device(
             _padded_window_mask(package, k1, P, solid_mask, num_assist)
         )
         keys, mult, n_edges_d = _phase1(
-            jnp.asarray(padded), jnp.asarray(lens), k1, 1, wm
+            jnp.asarray(words), jnp.asarray(lens), k1, 1, wm,
+            prepacked=True,
         )
     else:
         keys, mult, n_edges_d = _phase1(
-            jnp.asarray(padded), jnp.asarray(lens), k1, min_count
+            jnp.asarray(words), jnp.asarray(lens), k1, min_count,
+            prepacked=True,
         )
     n_edges = int(n_edges_d)  # host fetch 1: capacity bucket
     E = min(_round_up_pow2(max(n_edges, 1) * 2), keys.shape[0])

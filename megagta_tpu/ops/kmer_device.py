@@ -22,11 +22,29 @@ import numpy as np
 
 __all__ = [
     "pack_reads_device",
+    "pack_reads_host",
     "window_keys",
     "rc_keys",
     "count_sorted",
     "counted_kmers",
 ]
+
+
+def pack_reads_host(padded: np.ndarray) -> np.ndarray:
+    """numpy twin of pack_reads_device ([R, L] int8 -> [R, W+2] uint32,
+    identical bit layout): packing on the HOST quarters the bytes shipped
+    to the accelerator — on a tunneled chip the read upload dominates the
+    warm build wall (0.9 s of 1.24 s at prod scale)."""
+    R, L = padded.shape
+    W = (L + 15) // 16
+    c = np.clip(padded, 0, 3).astype(np.uint32)
+    pad = W * 16 - L
+    if pad:
+        c = np.pad(c, ((0, 0), (0, pad)))
+    c = c.reshape(R, W, 16)
+    shifts = np.arange(15, -1, -1, dtype=np.uint32) * np.uint32(2)
+    words = (c << shifts[None, None, :]).sum(-1, dtype=np.uint32)
+    return np.pad(words, ((0, 0), (0, 2)))
 
 # byte -> byte with its four 2-bit chars reversed (for bitwise rc)
 _REV2 = np.zeros(256, np.uint32)
@@ -190,22 +208,25 @@ def rc_keys(keys: jnp.ndarray, k1: int) -> jnp.ndarray:
     )
 
 
-@partial(jax.jit, static_argnames=("k1",))
+@partial(jax.jit, static_argnames=("k1", "prepacked"))
 def counted_kmers(
     padded: jnp.ndarray,
     lengths: jnp.ndarray,
     k1: int,
     window_mask: jnp.ndarray | None = None,
+    prepacked: bool = False,
 ):
     """Full device counting pipeline.
 
     window_mask: optional [R, P] bool — only masked-True windows count
     (the mercy solid mask, reference s2 solid-window semantics).
+    prepacked: `padded` is already the [R, W+2] uint32 word arena
+    (pack_reads_host) instead of [R, L] int8 codes.
     Returns (sorted_keys [M, 3] uint32, run_start [M] bool, valid [M] bool):
     the sorted double-stranded occurrence multiset (palindromes once) with
     run boundaries; distinct edges and multiplicities fall out of run ids.
     """
-    words = pack_reads_device(padded)
+    words = padded if prepacked else pack_reads_device(padded)
     fwd, valid = window_keys(words, lengths, k1)
     if window_mask is not None:
         # window_keys pads rows to 16-char word multiples, so its position

@@ -46,8 +46,11 @@ def rss_gb() -> float:
 
 
 def make_workload() -> dict:
-    """~10.6M deterministic reads: 10.5 Mb background tiled at step 1 +
-    20 gene variants tiled at step 1 (coverage ~100x over the genes)."""
+    """>=10M deterministic reads: a 5.25 Mb background tiled at step 1 in
+    TWO passes (~10.3M reads, ~200x coverage) + 20 gene variants tiled at
+    step 1. Sized so the device phase-2 BOSS sort (5E family rows x 11
+    operands at E = pow2 distinct edges) stays inside one chip's HBM —
+    ~10.5M distinct (k+1)-mers -> E=16M -> ~3.5 GB of sort operands."""
     from megagta_tpu.constants import dna_to_str
     from megagta_tpu.models.build import build_gene_resource
     from synthetic import mutate_peptide, random_peptide, reverse_translate
@@ -63,7 +66,7 @@ def make_workload() -> dict:
         mutate_peptide(rng, peptide, 0.05) for _ in range(19)
     ]
     genes = [reverse_translate(rng, p) for p in variants_aa]
-    bg_codes = rng.integers(0, 4, size=10_500_000).astype(np.int8)
+    bg_codes = rng.integers(0, 4, size=5_250_000).astype(np.int8)
     background = dna_to_str(bg_codes)
     read_len = 100
 
@@ -74,18 +77,20 @@ def make_workload() -> dict:
         for i in range(0, len(g) - read_len + 1, 1):
             chunks.append(f">g{rid}\n{g[i : i + read_len]}\n")
             rid += 1
-    # bulk background tiling: windows as a strided view over the string
+    # bulk background tiling, two passes (pure coverage, no new k-mers)
     n_bg = len(background) - read_len + 1
-    for lo in range(0, n_bg, 1_000_000):
-        hi = min(lo + 1_000_000, n_bg)
-        part = [
-            f">b{j}\n{background[j : j + read_len]}\n" for j in range(lo, hi)
-        ]
-        chunks.append("".join(part))
+    for p in range(2):
+        for lo in range(0, n_bg, 1_000_000):
+            hi = min(lo + 1_000_000, n_bg)
+            part = [
+                f">b{p}_{j}\n{background[j : j + read_len]}\n"
+                for j in range(lo, hi)
+            ]
+            chunks.append("".join(part))
     reads_fa = os.path.join(CACHE, "reads.fa")
     with open(reads_fa, "w") as f:
         f.write("".join(chunks))
-    n_reads = rid + n_bg
+    n_reads = rid + 2 * n_bg
 
     aligned = [(f"v{i}", p) for i, p in enumerate(variants_aa)] + [
         (f"x{i}", mutate_peptide(rng, peptide, 0.08)) for i in range(3)
@@ -114,17 +119,27 @@ def load_package(meta):
 
 
 def build_graph(meta, pkg, out: dict):
-    """Host streaming build (cached) + timed engine runs."""
-    from megagta_tpu.graph.builder import build_sdbg
+    """Streaming build (cached): device engine by default at this scale
+    (the host builder is the small-scale oracle; at 10M reads its python
+    BOSS derivation is not the production path). BIG_HOST_BUILD=1 forces
+    the host engine."""
     from megagta_tpu.graph.sdbg import SdBG
 
     prefix = os.path.join(CACHE, "graph", str(K - 1))
     os.makedirs(os.path.dirname(prefix), exist_ok=True)
     if not os.path.exists(prefix + ".sdbg.npz"):
         t0 = time.time()
-        dbg = build_sdbg(pkg, K - 1, batch_reads=BATCH_READS)
-        out["host_buildgraph_s"] = round(time.time() - t0, 1)
-        out["host_build_maxrss_gb"] = rss_gb()
+        if os.environ.get("BIG_HOST_BUILD", "0") == "1":
+            from megagta_tpu.graph.builder import build_sdbg
+
+            dbg = build_sdbg(pkg, K - 1, batch_reads=BATCH_READS)
+            out["host_buildgraph_s"] = round(time.time() - t0, 1)
+        else:
+            from megagta_tpu.graph.device_builder import build_sdbg_device
+
+            dbg = build_sdbg_device(pkg, K - 1, batch_reads=BATCH_READS)
+            out["device_buildgraph_cold_s"] = round(time.time() - t0, 1)
+        out["build_maxrss_gb"] = rss_gb()
         dbg.save(prefix)
     dbg = SdBG.load(prefix)
     out["graph_rows"] = int(dbg.size)
@@ -132,7 +147,10 @@ def build_graph(meta, pkg, out: dict):
 
 
 def device_build(meta, pkg, dbg, out: dict):
-    """Streaming device-engine build on the accelerator, content-checked."""
+    """WARM streaming device-engine build (the cold build happens in
+    build_graph), content-checked against the cached graph. batch_reads
+    keeps every stage RAM/HBM-bounded — a whole-array pass at 10M reads
+    would materialize a ~14 GB occurrence multiset."""
     import jax
 
     from megagta_tpu.graph.device_builder import build_sdbg_device
@@ -218,24 +236,27 @@ def run_search(dbg, meta, seeds, out: dict, ref_contigs=None):
     fwd = parse_hmm(meta["forward_hmm"])
     rev = parse_hmm(meta["reverse_hmm"])
     on_tpu = jax.default_backend() == "tpu"
-    bs = BatchSearcher(
-        dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
-        WavefrontConfig(
-            pool_size=1 << 12, max_steps=1 << 11,
-            expand_width=int(os.environ.get("BENCH_B", 16)),
-            use_cache=True,
-            use_pallas=on_tpu, use_pallas_expand=on_tpu,
-            # the whole point at this scale: the raw-table kernel path
-            precompute_hops=False,
-        ),
-        dtype=jnp.float32,
-        chunk=512,
-        refill_rows=int(os.environ.get("BENCH_REFILL", 256)),
-    )
+
+    def make_bs(hops):
+        return BatchSearcher(
+            dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
+            WavefrontConfig(
+                pool_size=1 << 12, max_steps=1 << 11,
+                expand_width=int(os.environ.get("BENCH_B", 16)),
+                cand_cap=int(os.environ.get("BENCH_CAND", 128)),
+                use_cache=True,
+                use_pallas=on_tpu, use_pallas_expand=False,
+                precompute_hops=hops,
+            ),
+            dtype=jnp.float32,
+            chunk=512,
+        )
+
     # deterministic sample of the seed list
     rng = np.random.default_rng(99)
     idx = np.sort(rng.choice(len(seeds), min(N_SAMPLE, len(seeds)), False))
     sample = [seeds[i] for i in idx]
+    bs = make_bs(None)  # auto: path tables (graph fits the byte budget)
     bs.warmup(sample)
     t0 = time.time()
     contigs = bs.search(sample)
@@ -251,6 +272,17 @@ def run_search(dbg, meta, seeds, out: dict, ref_contigs=None):
     out["contig_digest"] = hashlib.sha256(
         "\n".join(contigs).encode()
     ).hexdigest()[:16]
+    # raw-table memory-fallback kernel, exercised at scale on a subset
+    # (per-step gathers serialize -> it exists for graphs whose path
+    # tables exceed the HBM budget, not for speed)
+    raw_n = int(os.environ.get("BIG_RAW_SEEDS", 100))
+    bs_raw = make_bs(False)
+    bs_raw.warmup(sample[:4])
+    t0 = time.time()
+    raw_contigs = bs_raw.search(sample[:raw_n])
+    out["raw_tables_search_s"] = round(time.time() - t0, 2)
+    out["raw_tables_seeds"] = raw_n
+    out["raw_tables_equal"] = raw_contigs == contigs[:raw_n]
     return dict(zip(sample, contigs))
 
 
