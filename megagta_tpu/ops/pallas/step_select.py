@@ -34,28 +34,30 @@ INT_MIN32 = -(2**31)
 IDENT_MASK = (1 << 14) - 1
 
 def select_fits(P: int) -> bool:
-    """True when even a single-row tile of the pool planes fits the ~8 MB
+    """True when even a single-row tile of the pool planes fits the ~4 MB
     scoped-VMEM budget; callers must take the XLA select path otherwise
-    (pool widths >~ 290k lanes)."""
-    return P * 36 <= (8 << 20)
+    (pool widths >~ 116k lanes)."""
+    return P * 36 <= (4 << 20)
 
 
 def _rows_for(P: int, S: int) -> int:
     """Seed rows per program, sized so the streamed block (7 input planes +
     1 output plane + small outputs, double-buffered) stays inside scoped
-    VMEM: ROWS x P x 4 B x 9 <= ~8 MB — the kernel's true
-    stack is ~2.2x that once Mosaic materializes the body temporaries
-    (fm/k2m/nk/dead), and the scoped-vmem limit is 16 MB; 64-row tiles
-    measured 20.5 MB and fail to compile. The old 4 MB budget forced
-    16-row tiles whose per-program overhead held the kernel to ~160 GB/s
-    effective. Big-pool ladder configs (the deep / exact
-    escalation shapes, P up to 128k) drop to narrow row tiles."""
+    VMEM: ROWS x P x 4 B x 9 <= ~4 MB. The kernel's true stack is ~2.2x
+    the plane bytes once Mosaic materializes the body temporaries
+    (fm/k2m/nk/dead) against a 16 MB scoped-vmem limit: 64-row tiles need
+    20.5 MB and never compile; 32-row tiles measured 16.67 MB in some
+    surrounding-program contexts (metagenome-scale graphs) and are too
+    marginal, despite being ~15% faster when they fit. 16-row tiles
+    (2.3 MB planes) compile everywhere. Big-pool ladder configs (the
+    deep / exact escalation shapes, P up to 128k) drop to narrow row
+    tiles."""
     assert select_fits(P), (
         f"pool width {P} exceeds the Pallas select kernel's VMEM budget "
         "even at one row per program; use the XLA select path"
     )
     rows = 64
-    while rows > 1 and rows * P * 36 > (8 << 20):
+    while rows > 1 and rows * P * 36 > (4 << 20):
         rows //= 2
     while rows > 1 and S % rows:
         rows //= 2

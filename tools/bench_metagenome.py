@@ -135,9 +135,53 @@ def build_graph(meta, pkg, out: dict):
             dbg = build_sdbg(pkg, K - 1, batch_reads=BATCH_READS)
             out["host_buildgraph_s"] = round(time.time() - t0, 1)
         else:
-            from megagta_tpu.graph.device_builder import build_sdbg_device
+            # device streaming build with the counted distinct-edge
+            # relation cached between runs (phase 1 is ~8 min of tunnel
+            # streaming; a phase-2 retry should not repay it)
+            import jax.numpy as jnp
 
-            dbg = build_sdbg_device(pkg, K - 1, batch_reads=BATCH_READS)
+            from megagta_tpu.graph.builder import (
+                edges_from_reads_streaming,
+            )
+            from megagta_tpu.graph.device_builder import (
+                _phase2, _round_up_pow2, sdbg_from_phase2,
+            )
+            from megagta_tpu.ops.dna import pack_kmers
+
+            edges_p = prefix + ".edges.npz"
+            if os.path.exists(edges_p):
+                z = np.load(edges_p)
+                edges, mult_np = z["edges"], z["mult"]
+            else:
+                edges, mult_np = edges_from_reads_streaming(
+                    pkg, K - 1, 1, BATCH_READS, engine="device"
+                )
+                np.savez(edges_p, edges=edges, mult=mult_np)
+                out["count_stream_s"] = round(time.time() - t0, 1)
+            n_edges = len(edges)
+            t1 = time.time()
+            E = _round_up_pow2(max(n_edges, 1))
+            words = pack_kmers(edges, K)
+            ek = np.full((E, 3), np.uint32(0xFFFFFFFF), np.uint32)
+            ek[:n_edges, 0] = (words[:, 0] >> np.uint64(32)).astype(
+                np.uint32
+            )
+            ek[:n_edges, 1] = (
+                words[:, 0] & np.uint64(0xFFFFFFFF)
+            ).astype(np.uint32)
+            ek[:n_edges, 2] = (
+                (words[:, 1] >> np.uint64(32)).astype(np.uint32)
+                if words.shape[1] > 1
+                else 0
+            )
+            ms = np.zeros(E, np.int32)
+            ms[:n_edges] = mult_np
+            res = _phase2(
+                jnp.asarray(ek), jnp.asarray(ms),
+                jnp.int32(n_edges), K - 1,
+            )
+            dbg = sdbg_from_phase2(res, K - 1)
+            out["phase2_s"] = round(time.time() - t1, 1)
             out["device_buildgraph_cold_s"] = round(time.time() - t0, 1)
         out["build_maxrss_gb"] = rss_gb()
         dbg.save(prefix)
