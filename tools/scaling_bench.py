@@ -69,7 +69,8 @@ _BODY = textwrap.dedent(
         return BatchSearcher(
             dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
             WavefrontConfig(pool_size=1 << 12, max_steps=1 << 11,
-                            expand_width=8, use_cache=True),
+                            expand_width=8,
+                            use_cache=os.environ.get("SCALE_NO_CACHE") != "1"),
             dtype=jnp.float32, chunk=128,
         )
 
@@ -80,8 +81,13 @@ _BODY = textwrap.dedent(
         multihost_utils.sync_global_devices("warm")
     t0 = time.perf_counter()
     # production multihost path: phased search with cross-process cache
-    # syncs (the shared-memory term-memo equivalent; runner.sync_caches)
-    contigs = bs.search_phased(my) if nproc > 1 else bs.search(my)
+    # syncs (the shared-memory term-memo equivalent; runner.sync_caches).
+    # SCALE_PHASES=0 runs plain per-host searches (no sync).
+    phases = int(os.environ.get("SCALE_PHASES", "2"))
+    if nproc > 1 and phases > 1:
+        contigs = bs.search_phased(my, phases=phases)
+    else:
+        contigs = bs.search(my)
     if nproc > 1:
         multihost_utils.sync_global_devices("done")
     wall = time.perf_counter() - t0
