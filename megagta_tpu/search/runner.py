@@ -1198,9 +1198,10 @@ class BatchSearcher:
                     trace3, treal, res["inter_idx"]
                 )
                 cap2 = Tc
-            lmax2 = min(
-                cap2, _round_up_pow2(max(int(np.asarray(dl2).max()), 64))
-            )
+            # reuse the dispatch path's STATIC slice width: a fresh
+            # pow2(dlens.max()) bucket here compiled a new executable the
+            # one time per run the fallback fires (~0.6 s on the tunnel)
+            lmax2 = min(cap2, ctx["lcap"])
             if dr2.dtype == jnp.float32:
                 arr2 = np.asarray(_slice_stack_f32(dn2, dp2, dr2, lmax2))
                 packed2 = arr2[1]
