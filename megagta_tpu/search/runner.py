@@ -680,8 +680,11 @@ class BatchSearcher:
             return self._dev_cache
         # ONE constant upload shape: a fresh pow2 pad per batch would
         # compile a new _cache_scatter executable mid-run (~0.5 s each on
-        # the tunneled TPU); oversized batches loop in fixed slices
-        PAD = 1 << 16
+        # the tunneled TPU); oversized batches loop in fixed slices.
+        # 8k rows (160 KB) covers a typical chunk's harvest (~250 entries,
+        # cold chunks ~2k) — the old 64k pad shipped 1.3 MB per chunk
+        # (~0.6 s of tunnel time per prod run)
+        PAD = 1 << 13
         upd = np.full((((n - 1) // PAD + 1) * PAD, 5), 2 * HB, np.int64)
         row = 0
         for d, cache in ((0, self.cache_f), (1, self.cache_r)):
