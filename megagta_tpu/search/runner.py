@@ -456,6 +456,16 @@ def _round_up_pow2(x: int) -> int:
     return 1 << max(0, (x - 1).bit_length())
 
 
+# two-tier transfer knobs (module-level so tests can force the rare
+# n_long > NLONG full-fetch fallback deterministically)
+_TIER_SHORT = 64
+
+
+def _tier_nlong(S: int) -> int:
+    """Long-row slots in the two-tier chain transfer (S = seeds/chunk)."""
+    return min(max(64, (2 * S) // 4), 2 * S)
+
+
 def _refill_win(cfg) -> int:
     """Residence-window width for refill-mode extraction: an item's trace
     records span at most (item_cap + 2) * B positions from its recorded
@@ -1075,8 +1085,8 @@ class BatchSearcher:
             # transfer slices are STATIC — they run at dispatch time and
             # the downloads overlap the next chunk's device compute
             # instead of waiting on a meta round trip
-            SHORT = 64
-            NLONG = min(max(64, (2 * S) // 4), 2 * S)
+            SHORT = _TIER_SHORT
+            NLONG = _tier_nlong(S)
             if lcap <= 2 * SHORT:
                 ctx["arr_dev"] = _slice_stack_f32(
                     dnodes, dpacked, dreals, lcap

@@ -302,3 +302,32 @@ def test_wavefront_refill_tight_rows(setup):
     )
     got = bs.search([(s.nucl.lower(), s.model_pos - 1) for s in seeds[:n]])
     assert got == expected
+
+
+def test_wavefront_two_tier_fallback(setup, monkeypatch):
+    """The two-tier chain transfer's full-width FALLBACK (more long rows
+    than NLONG slots — the cold-chunk case) must reproduce the default
+    path's results exactly. Tiny tier knobs force the fallback on CPU."""
+    import megagta_tpu.search.runner as runner_mod
+
+    sc, dbg, seeds, fwd, rev = setup
+    n = min(12, len(seeds))
+    sl = [(s.nucl.lower(), s.model_pos - 1) for s in seeds[:n]]
+    import jax.numpy as jnp2
+
+    def run():
+        bs = BatchSearcher(
+            dbg, fwd, rev, heuristic_table(fwd), heuristic_table(rev),
+            WavefrontConfig(
+                pool_size=1 << 12, max_steps=1 << 10, expand_width=4,
+            ),
+            dtype=jnp2.float32,  # the two-tier path is f32-only
+            chunk=16,
+        )
+        return bs.search(sl)
+
+    expected = run()
+    monkeypatch.setattr(runner_mod, "_TIER_SHORT", 1)
+    monkeypatch.setattr(runner_mod, "_tier_nlong", lambda S: 2)
+    got = run()
+    assert got == expected
